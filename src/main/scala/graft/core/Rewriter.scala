@@ -1,0 +1,323 @@
+package graft.core
+
+import graft.model._
+import java.nio.charset.{Charset, CodingErrorAction}
+import java.nio.ByteBuffer
+import java.util.regex.Pattern
+
+/** Webarchive -> HTML extraction engine.
+  *
+  * Replicates the reference's observable output byte-for-byte:
+  *  - HTML re-serialization through an event parser
+  *    (/root/reference/webarchive/util.py:22-221)
+  *  - CSS url() rewriting (util.py:236-276)
+  *  - 3-way URL resolution local-path / data-URI / absolute
+  *    (webarchive.py:363-404) and data-URI recursion (webresource.py:107-133)
+  *  - exception fallback incl. the reference's truncate-without-seek NUL
+  *    padding (util.py:300-311), pinned by the `fallback` golden fixture.
+  */
+object Rewriter {
+
+  final class WebArchiveError(msg: String) extends RuntimeException(msg)
+
+  // --- charset handling (python codec name -> java) --------------------------
+
+  private val charsetAliases = Map(
+    "utf-8" -> "UTF-8", "utf8" -> "UTF-8", "u8" -> "UTF-8",
+    "latin-1" -> "ISO-8859-1", "latin1" -> "ISO-8859-1", "latin" -> "ISO-8859-1",
+    "iso-8859-1" -> "ISO-8859-1", "iso8859-1" -> "ISO-8859-1", "8859" -> "ISO-8859-1",
+    "cp1252" -> "windows-1252", "windows-1252" -> "windows-1252",
+    "ascii" -> "US-ASCII", "us-ascii" -> "US-ASCII",
+    "utf-16" -> "UTF-16", "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
+    "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS", "sjis" -> "Shift_JIS",
+    "euc-jp" -> "EUC-JP", "euc-kr" -> "EUC-KR", "gb2312" -> "GB2312",
+    "gbk" -> "GBK", "big5" -> "Big5", "koi8-r" -> "KOI8-R")
+
+  def charsetFor(name: String): Charset =
+    Charset.forName(charsetAliases.getOrElse(name.toLowerCase, name))
+
+  /** Python str(resource): strict decode with the resource encoding;
+    * TypeError for non-text resources. */
+  def resourceText(r: WResource): String = {
+    if (!Mime.isText(r.mimeType))
+      throw new IllegalArgumentException("cannot convert non-text resource to str")
+    val cs = charsetFor(r.textEncoding.getOrElse("utf-8"))
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    dec.decode(ByteBuffer.wrap(r.data)).toString
+  }
+
+  def encodeText(s: String, encoding: String): Array[Byte] = {
+    val cs = charsetFor(encoding)
+    val enc = cs.newEncoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+    val out = new Array[Byte](bb.remaining())
+    bb.get(out)
+    out
+  }
+
+  // --- archive context --------------------------------------------------------
+
+  /** Per-archive derived state: local-path index + url-keyed subresource map
+    * (the reference's O(n) scans replaced by hash lookups — same results). */
+  final class ArchiveCtx(val archive: WArchive) {
+    val localPaths: Map[String, String] = WebArchiveOps.makeLocalPaths(archive).toMap
+    private val subresourceByUrl: Map[String, WResource] =
+      archive.subresources.reverseIterator.map(r => r.url -> r).toMap
+    // reverse so the FIRST occurrence wins (reference scans list in order)
+
+    def getSubresource(url: String): WResource = {
+      // the "://" check precedes the lookup (webarchive.py:266-267), so
+      // data: subresource URLs miss here and resolve to their absolute URL
+      if (!url.contains("://")) throw new WebArchiveError("must specify an absolute URL")
+      subresourceByUrl.getOrElse(url, throw new WebArchiveError("no subresource for the specified URL"))
+    }
+
+    def getLocalPath(url: String): String =
+      localPaths.getOrElse(url, throw new WebArchiveError("no local path for the specified URL"))
+  }
+
+  /** webarchive.py:347-361 */
+  def getAbsoluteUrl(ctx: ArchiveCtx, url: String, base: String): String = {
+    val b =
+      if (base == null || base.isEmpty) ctx.archive.main.url
+      else if (!base.contains("://")) throw new WebArchiveError("base must be an absolute URL")
+      else base
+    PyUrl.urljoin(b, url)
+  }
+
+  /** webarchive.py:363-404. subresourceDir: null => data-URI mode,
+    * "" => same-dir local path, else "dir/path". */
+  def getLocalUrl(ctx: ArchiveCtx, subresourceDir: String, origUrl: String,
+                  base: String, depth: Int): String = {
+    val absUrl = getAbsoluteUrl(ctx, origUrl, base)
+    try {
+      if (subresourceDir == null) {
+        val res = ctx.getSubresource(absUrl)
+        toDataUri(ctx, res, depth + 1)
+      } else {
+        val localPath = ctx.getLocalPath(absUrl)
+        if (subresourceDir.nonEmpty) subresourceDir + "/" + localPath else localPath
+      }
+    } catch { case _: WebArchiveError => absUrl }
+  }
+
+  /** Recursion guard: the reference recurses unboundedly on cyclic CSS and
+    * dies with RecursionError, which its own caller turns into the raw-text
+    * fallback; a depth cap surfaces the same observable behavior. */
+  private val MaxDepth = 60
+
+  /** webresource.py:107-133 */
+  def toDataUri(ctx: ArchiveCtx, res: WResource, depth: Int): String = {
+    if (depth > MaxDepth) throw new IllegalStateException("data-URI recursion too deep")
+    val data: Array[Byte] =
+      if (res.url == ctx.archive.main.url) {
+        encodeText(toHtmlInner(ctx, depth), res.textEncoding.getOrElse("utf-8"))
+      } else if (res.mimeType == "text/css") {
+        val sb = new StringBuilder
+        processCssResource(ctx, res, sb, null, depth)
+        encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
+      } else res.data
+    "data:" + res.mimeType + ";base64," + java.util.Base64.getEncoder.encodeToString(data)
+  }
+
+  // --- CSS (util.py:236-276) --------------------------------------------------
+
+  private val rxStyleSheetUrl = Pattern.compile("url\\(([^\\)]+)\\)")
+
+  /** Rewrites url() values; base for resolution is the style sheet's URL. */
+  def processCssResource(ctx: ArchiveCtx, res: WResource, output: StringBuilder,
+                         subresourceDir: String, depth: Int): Unit = {
+    if (res.mimeType != "text/css")
+      throw new IllegalArgumentException("res must have mime_type == 'text/css'")
+    var content = resourceText(res)
+    // findall on the ORIGINAL content; replacements applied sequentially
+    val matches = {
+      val m = rxStyleSheetUrl.matcher(content)
+      val b = Vector.newBuilder[String]
+      while (m.find()) b += m.group(1)
+      b.result()
+    }
+    for (m0 <- matches) {
+      var m = m0
+      if (m.startsWith("\"") || m.startsWith("'")) m = m.substring(1)
+      if (m.endsWith("\"") || m.endsWith("'")) m = m.substring(0, m.length - 1)
+      if (m.nonEmpty) {
+        val localUrl = getLocalUrl(ctx, subresourceDir, m, res.url, depth)
+        if (localUrl != m) content = content.replace(m, localUrl)
+      }
+    }
+    output.append(content)
+  }
+
+  // --- HTML (util.py:22-221, 279-311) ------------------------------------------
+
+  private val VOID_ELEMENTS = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr", "command", "keygen", "menuitem")
+
+  private final class HtmlRewriteHandler(
+      ctx: ArchiveCtx, res: WResource, output: StringBuilder,
+      subresourceDir: String, depth: Int) extends HtmlTok.Handler {
+
+    private var isXhtml = res.mimeType == "application/xhtml+xml"
+    private val styleBuffer = new StringBuilder
+    private var inStyleBlock = false
+
+    private def resourceUrl(origUrl: String): String =
+      getLocalUrl(ctx, subresourceDir, origUrl, null, depth)
+
+    private def processAttrValue(tag: String, attr: String, value: String): String = {
+      var v = value
+      if ((tag == "a" && attr == "href") || (tag == "form" && attr == "action"))
+        v = getAbsoluteUrl(ctx, v, null)
+      else if (attr == "src" || (tag == "link" && attr == "href"))
+        v = resourceUrl(v)
+      else if (attr == "srcset") {
+        val items = v.split(",", -1).map(HtmlTok.pyStrip)
+        val out = items.map { item =>
+          val sp = item.indexOf(' ')
+          if (sp >= 0) {
+            val src = item.substring(0, sp)
+            val size = item.substring(sp + 1)
+            resourceUrl(src) + " " + size
+          } else resourceUrl(item)
+        }
+        v = out.mkString(", ")
+      }
+      PyHtml.escape(v)
+    }
+
+    private def buildStarttag(tag: String, attrs: List[(String, String)],
+                              isEmpty: Boolean): String = {
+      val sb = new StringBuilder
+      sb.append('<').append(tag)
+      for ((attr, value) <- attrs) {
+        sb.append(' ').append(attr)
+        if (value != null) {
+          sb.append("=\"").append(processAttrValue(tag, attr, value)).append('"')
+        } else if (isXhtml) {
+          sb.append("=\"").append(attr).append('"')
+        }
+      }
+      if (isXhtml && (isEmpty || VOID_ELEMENTS.contains(tag))) sb.append(" />")
+      else sb.append('>')
+      sb.toString
+    }
+
+    private def flushStyleBuffer(): Unit = {
+      val cssRes = WResource(
+        encodeText(styleBuffer.toString, res.textEncoding.getOrElse("utf-8")),
+        "text/css", res.url, res.textEncoding, None)
+      processCssResource(ctx, cssRes, output, subresourceDir, depth)
+      styleBuffer.clear()
+    }
+
+    override def starttag(tag: String, attrs: List[(String, String)]): Unit = {
+      if (tag == "style") inStyleBlock = true
+      output.append(buildStarttag(tag, attrs, isEmpty = false))
+    }
+    override def startendtag(tag: String, attrs: List[(String, String)]): Unit =
+      output.append(buildStarttag(tag, attrs, isEmpty = true))
+    override def endtag(tag: String): Unit = {
+      if (tag == "style") { inStyleBlock = false; flushStyleBuffer() }
+      output.append("</").append(tag).append('>')
+    }
+    override def data(d: String): Unit =
+      if (inStyleBlock) styleBuffer.append(d) else output.append(d)
+    override def entityref(name: String): Unit =
+      output.append('&').append(name).append(';')
+    override def charref(name: String): Unit =
+      output.append("&#").append(name).append(';')
+    override def comment(d: String): Unit =
+      output.append("<!--").append(d).append("-->")
+    override def decl(d: String): Unit = {
+      output.append("<!").append(d).append('>')
+      if (d.contains("//DTD XHTML ")) isXhtml = true
+    }
+  }
+
+  /** util.py:279-311 — rewrite HTML; on ANY internal error fall back to the
+    * reference's observable behavior: NUL x chars-already-written + raw text. */
+  def processHtmlResource(ctx: ArchiveCtx, res: WResource, output: StringBuilder,
+                          subresourceDir: String, depth: Int): Unit = {
+    if (!Mime.isHtml(res.mimeType))
+      throw new IllegalArgumentException("res must be text/html or application/xhtml+xml")
+    val start = output.length
+    val text = resourceText(res) // decode errors propagate (same as reference)
+    try {
+      val h = new HtmlRewriteHandler(ctx, res, output, subresourceDir, depth)
+      HtmlTok.tokenize(text, h)
+    } catch {
+      case _: Throwable =>
+        // reference bug replicated: output.truncate(0) without seek leaves
+        // the stream position -> NUL padding of the already-written length
+        val written = output.length
+        output.setLength(start)
+        var i = start
+        while (i < written) { output.append(' '); i += 1 }
+        output.append(text)
+    }
+  }
+
+  private def toHtmlInner(ctx: ArchiveCtx, depth: Int): String = {
+    val out = new StringBuilder
+    processHtmlResource(ctx, ctx.archive.main, out, null, depth)
+    out.toString
+  }
+
+  /** webarchive.py:293-305 — single-file extraction to a string. */
+  def toHtml(archive: WArchive): String = toHtmlInner(new ArchiveCtx(archive), 0)
+
+  // --- multi-file extraction (webarchive.py:93-225, 307-345) -------------------
+
+  /** Multi-file extraction as (relativePath -> bytes), mirroring
+    * extract(output_path) with output basename `outName` (extension split
+    * off for the `<base>_files` dir). Subframes recurse with their own ctx. */
+  def extractFiles(archive: WArchive, outName: String): Vector[(String, Array[Byte])] = {
+    val ctx = new ArchiveCtx(archive)
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    val dot = {
+      val d = outName.lastIndexOf('.')
+      if (d <= 0) outName.length else d
+    }
+    val base = outName.substring(0, dot)
+    val subresourceDirBase = base + "_files"
+
+    // main resource
+    val mainBytes: Array[Byte] =
+      if (Mime.isHtml(archive.main.mimeType)) {
+        val sb = new StringBuilder
+        processHtmlResource(ctx, archive.main, sb, subresourceDirBase, 0)
+        encodeText(sb.toString, archive.main.textEncoding.getOrElse("utf-8"))
+      } else archive.main.data
+    out += outName -> mainBytes
+
+    // subresources (plist order)
+    for (res <- archive.subresources) {
+      val localPath = ctx.getLocalPath(res.url)
+      val bytes: Array[Byte] =
+        if (res.mimeType == "text/css") {
+          val sb = new StringBuilder
+          processCssResource(ctx, res, sb, "", 0)
+          encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
+        } else if (Mime.isHtml(res.mimeType)) {
+          val sb = new StringBuilder
+          processHtmlResource(ctx, res, sb, "", 0)
+          encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
+        } else res.data
+      out += (subresourceDirBase + "/" + localPath) -> bytes
+    }
+
+    // subframe archives, recursive: extracted under the parent's _files dir
+    for (sf <- archive.subframes) {
+      val sfLocal = ctx.getLocalPath(sf.main.url)
+      for ((rel, bytes) <- extractFiles(sf, sfLocal))
+        out += (subresourceDirBase + "/" + rel) -> bytes
+    }
+    out.result()
+  }
+}

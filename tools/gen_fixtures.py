@@ -205,6 +205,13 @@ ARCHIVES["attrentity"] = arch(
     res(f"{H}/ae.html", "text/html", attrent_html, "utf-8"),
     [res(f"{H}/bg.png", "image/png", PNG)])
 
+# --- fallback: unknown marked section → AssertionError → raw passthrough ----
+# (reference bug: truncate(0) without seek(0) → NUL padding; pinned verbatim)
+ARCHIVES["fallback"] = arch(
+    res(f"{H}/f.html", "text/html",
+        '<p>before</p><img src="bg.png"><![bogus]>after', "utf-8"),
+    [res(f"{H}/bg.png", "image/png", PNG)])
+
 # --- empty page (no subresources) --------------------------------------------
 ARCHIVES["nosubs"] = arch(
     res(f"{H}/solo.html", "text/html",

@@ -1,0 +1,265 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.{Candidate, LineageRow}
+import graft.frontier.{Scheduler, SeenSet}
+import graft.sql.GraftFunctions._
+import graft.store.{FrontierStore, Snapshot}
+import graft.core.PyUrl
+
+/** The crawl-frontier epoch job (BASELINE.json north_rule).
+  *
+  * Iterative batch: each epoch dequeues a politeness-bounded batch from the
+  * frontier, "fetches" it (joins the pages table), runs the Catalyst-native
+  * extraction, discovers outlinks, dedups them against the bloom+exact seen
+  * set, and re-enqueues. All state (frontier, seen, blooms, budgets) is
+  * checkpointed through [[FrontierStore]] snapshots; a run resumes exactly
+  * from the last committed manifest.
+  *
+  * Determinism: scheduled order is the total order (host ASC, priority
+  * DESC, url ASC) per epoch; seq numbers assigned by distributed
+  * sort+zipWithIndex (no single-partition windows); no wall-clock anywhere.
+  */
+object CrawlJob {
+
+  final case class Config(
+      seen: SeenSet.Config = SeenSet.Config(),
+      sched: Scheduler.Config = Scheduler.Config(),
+      maxRetries: Int = 2,
+      epochWindowSec: Double = 10.0,
+      linkPriorityDecay: Double = 0.5,
+      shufflePartitions: Int = 32)
+
+  final case class EpochResult(
+      epoch: Long,
+      scheduled: Long,
+      fetched: Long,
+      deduped: Long,
+      robotsBlocked: Long,
+      retried: Long,
+      discovered: Long,
+      frontierSize: Long)
+
+  final case class ScheduledRow(epoch: Long, seq: Long, url: String, host: String,
+                                priority: Double, retries: Int)
+
+  /** One-time pages-table preparation: canonicalize urls and keep exactly
+    * one capture per url — max (warc_ts, base64(html)) wins, a total order,
+    * so re-runs and different parallelism levels pick the same capture.
+    * Run ONCE before the epoch loop (at 100 TB this dedup is a full
+    * shuffle you must not pay per epoch); runEpoch requires unique urls. */
+  def preparePages(pages: DataFrame): DataFrame = {
+    val p = pages.withColumn("__curl", url_canonicalize(col("url")))
+      .filter(col("__curl").isNotNull)
+    p.groupBy(col("__curl").as("url"))
+      .agg(max(struct(col("warc_ts"), base64(col("html")).as("b64"))).as("r"))
+      .select(col("url"), unbase64(col("r.b64")).as("html"))
+  }
+
+  /** Initialize crawl state from a seed list. Epoch -1 snapshot. */
+  def init(spark: SparkSession, store: FrontierStore,
+           seeds: Dataset[(String, Double)], cfg: Config): Unit = {
+    import spark.implicits._
+    val frontier: Dataset[Candidate] = seeds.flatMap { case (u, prio) =>
+      PyUrl.canonicalize(u).map(c => Candidate(c, PyUrl.hostOf(c), prio, 0, 0))
+    }
+    // repartition(1): an empty dataframe must still write one parquet file
+    // so the schema survives for the epoch-0 read
+    val emptySeen = spark.emptyDataset[(String, Int)].toDF("url", "bucket").repartition(1)
+    val emptyBlooms = spark.emptyDataset[SeenSet.BucketBloom].toDF().repartition(1)
+    val tables = Map(
+      "frontier" -> store.writeTable("frontier", -1, frontier.toDF().repartition(1)),
+      "seen" -> store.writeTable("seen", -1, emptySeen),
+      "blooms" -> store.writeTable("blooms", -1, emptyBlooms))
+    store.commit(-1, tables, Map("frontierSize" -> frontier.count()))
+  }
+
+  /** Run one epoch on top of the latest snapshot. pages: the PREPARED
+    * corpus (unique canonical url, html) from [[preparePages]]; robots:
+    * (host, disallow, allow, crawl_delay) — both read-only. */
+  def runEpoch(spark: SparkSession, store: FrontierStore, pages: DataFrame,
+               robots: DataFrame, cfg: Config): EpochResult = {
+    import spark.implicits._
+    val snap = store.latest().getOrElse(sys.error("no snapshot to resume from — call init() first"))
+    val epoch = snap.epoch + 1
+
+    val frontier = store.readTable(spark, snap, "frontier").as[Candidate]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seen = store.readTable(spark, snap, "seen")
+    val blooms = store.readTable(spark, snap, "blooms").as[SeenSet.BucketBloom]
+
+    val inRows = frontier.count()
+
+    // 1. in-batch URL dedup: keep the best (priority DESC, url-stable)
+    val dedupInBatch = frontier.groupByKey(_.url).reduceGroups { (a, b) =>
+      // fully deterministic tie-breaks: resume/replay must be exact
+      if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
+      else if (a.retries != b.retries) { if (a.retries > b.retries) a else b }
+      else if (a.discoveredEpoch <= b.discoveredEpoch) a else b
+    }.map(_._2)
+
+    // 2. seen-set dedup (bloom prefilter + partition-pruned anti-join);
+    //    retried candidates bypass the seen check (they are already seen by
+    //    design: scheduled once, fetch missed)
+    val fresh = dedupInBatch.filter(_.retries == 0)
+    val retriesIn = dedupInBatch.filter(_.retries > 0)
+    val unseen = SeenSet.filterNew(spark, fresh, seen, blooms, cfg.seen)
+      .unionByName(retriesIn)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val unseenCount = unseen.count()
+    val dedupedCount = inRows - unseenCount
+
+    // 3. robots gate: broadcast the (small) per-host rule table
+    val rulesDf = robots.select(col("host"),
+      coalesce(col("disallow"), array()).as("disallow"),
+      coalesce(col("allow"), array()).as("allow"),
+      col("crawl_delay"))
+    val joined = unseen.toDF().join(broadcast(rulesDf), Seq("host"), "left")
+    val allowedCol = udf { (url: String, dis: Seq[String], alw: Seq[String]) =>
+      if (dis == null) true
+      else {
+        val path = {
+          val i = url.indexOf("://")
+          val rest = if (i < 0) url else url.substring(i + 3)
+          val s = rest.indexOf('/')
+          if (s < 0) "/" else rest.substring(s)
+        }
+        graft.frontier.RobotsRules(dis.toVector, Option(alw).map(_.toVector).getOrElse(Vector.empty), None).allowed(path)
+      }
+    }
+    val gated = joined.withColumn("__allowed", allowedCol(col("url"), col("disallow"), col("allow")))
+      .withColumn("__budget",
+        when(col("crawl_delay").isNotNull,
+          greatest(lit(1), least(lit(cfg.sched.perHostBudget),
+            floor(lit(cfg.epochWindowSec) / col("crawl_delay")).cast("int"))))
+        .otherwise(lit(cfg.sched.perHostBudget)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allowed = gated.filter(col("__allowed"))
+      .select("url", "host", "priority", "discoveredEpoch", "retries").as[Candidate]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allowedBudgeted = gated.filter(col("__allowed"))
+      .select(struct(col("url"), col("host"), col("priority"), col("discoveredEpoch"),
+                     col("retries")).as("_1"), col("__budget").as("_2"))
+      .as[(Candidate, Int)]
+    val robotsBlocked = gated.filter(!col("__allowed")).count()
+
+    // 4. politeness dequeue (two-phase salted top-k, crawl-delay budgets)
+    val scheduled = Scheduler.dequeueWithBudget(spark, allowedBudgeted, cfg.sched)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scheduledCount = scheduled.count()
+
+    // deterministic seq: distributed sort + zipWithIndex
+    val scheduledSeq: Dataset[ScheduledRow] = {
+      val sorted = scheduled.rdd.sortBy(c => (c.host, -c.priority, c.url))
+      spark.createDataset(sorted.zipWithIndex().map { case (c, i) =>
+        ScheduledRow(epoch, i, c.url, c.host, c.priority, c.retries)
+      })
+    }
+
+    // 5. "fetch": join the prepared pages corpus (unique canonical url —
+    //    see preparePages) on url
+    val fetchJoin = scheduledSeq.toDF().join(pages.select("url", "html"), Seq("url"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fetched = fetchJoin.filter(col("html").isNotNull).persist(StorageLevel.MEMORY_AND_DISK)
+    val fetchedCount = fetched.count()
+
+    // misses -> retry (bounded)
+    val misses = fetchJoin.filter(col("html").isNull)
+      .select("url", "host", "priority", "retries").as[(String, String, Double, Int)]
+    val retryCands = misses.filter(_._4 < cfg.maxRetries)
+      .map { case (u, h, p, r) => Candidate(u, h, p, epoch.toInt, r + 1) }
+    val retriedCount = retryCands.count()
+
+    // 6. extraction (Catalyst-native expressions) + outlink discovery
+    val extracted = fetched
+      .withColumn("extracted_html", extract_html(col("html"), col("url")))
+      .withColumn("text", extract_text(col("html"), col("url")))
+      .withColumn("outlinks", extract_outlinks(col("html"), col("url")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val discovered: Dataset[Candidate] = extracted
+      .select(col("url").as("src"), col("priority"), explode(col("outlinks")).as("out"))
+      .withColumn("curl", url_canonicalize(col("out")))
+      .filter(col("curl").isNotNull)
+      .select(col("curl"), col("priority"))
+      .as[(String, Double)]
+      .map { case (u, p) => Candidate(u, PyUrl.hostOf(u), p * cfg.linkPriorityDecay, epoch.toInt, 0) }
+    // self-dedup discovered (keep max priority), drop anything scheduled now
+    val discoveredDedup = discovered.groupByKey(_.url).reduceGroups { (a, b) =>
+      if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
+      else a // identical url+epoch+priority: fields all equal
+    }.map(_._2)
+      .join(scheduledSeq.select("url"), Seq("url"), "left_anti").as[Candidate]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val discoveredCount = discoveredDedup.count()
+
+    // 7. next state
+    val residual = Scheduler.residual(spark, allowed, scheduled)
+    val nextFrontier = residual.unionByName(retryCands).unionByName(discoveredDedup)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val frontierSize = nextFrontier.count()
+
+    val newlySeen = scheduledSeq.filter(_.retries == 0).map(_.url)
+    val nextSeen = seen.unionByName(
+      newlySeen.map(u => (u, SeenSet.bucketOfUrl(u, cfg.seen.numBuckets))).toDF("url", "bucket"))
+    val nextBlooms = SeenSet.mergeBlooms(spark, blooms, newlySeen, cfg.seen)
+
+    // 8. lineage: per-partition accounting of the extraction stage
+    val lineage: Dataset[LineageRow] = {
+      val nb = cfg.seen.numBuckets
+      extracted.select(col("url"), spark_partition_id().as("pid")).as[(String, Int)]
+        .mapPartitions { it =>
+          val counts = scala.collection.mutable.Map.empty[(Int, Int), Long]
+          var pid = -1
+          for ((u, p) <- it) {
+            pid = p
+            val hb = SeenSet.bucketOfUrl(u, nb)
+            counts((p, hb)) = counts.getOrElse((p, hb), 0L) + 1
+          }
+          counts.iterator.map { case ((p, hb), c) =>
+            LineageRow(epoch.toInt, p, hb, c, c, c, 0, 0, 0, 0)
+          }
+        }
+    }
+
+    // 9. atomic snapshot commit
+    val tables = Map(
+      "frontier" -> store.writeTable("frontier", epoch, nextFrontier.toDF()),
+      "seen" -> store.writeTable("seen", epoch, nextSeen),
+      "blooms" -> store.writeTable("blooms", epoch, nextBlooms.toDF()),
+      "scheduled" -> store.writeTable("scheduled", epoch, scheduledSeq.toDF()),
+      "extracted" -> store.writeTable("extracted", epoch,
+        extracted.select("epoch", "seq", "url", "extracted_html", "text")),
+      "lineage" -> store.writeTable("lineage", epoch, lineage.toDF()))
+    val counters = Map(
+      "scheduled" -> scheduledCount, "fetched" -> fetchedCount,
+      "deduped" -> dedupedCount, "robotsBlocked" -> robotsBlocked,
+      "retried" -> retriedCount, "discovered" -> discoveredCount,
+      "frontierSize" -> frontierSize)
+    store.commit(epoch, tables, counters)
+
+    Seq(frontier, unseen, gated, allowed, scheduled, fetchJoin, fetched, extracted,
+        discoveredDedup, nextFrontier).foreach(d => d.unpersist())
+
+    EpochResult(epoch, scheduledCount, fetchedCount, dedupedCount, robotsBlocked,
+                retriedCount, discoveredCount, frontierSize)
+  }
+
+  /** Run epochs until the frontier drains or maxEpochs is hit. */
+  def run(spark: SparkSession, store: FrontierStore, pages: DataFrame,
+          robots: DataFrame, cfg: Config, maxEpochs: Int): Vector[EpochResult] = {
+    val out = Vector.newBuilder[EpochResult]
+    var continue = true
+    var k = 0
+    while (continue && k < maxEpochs) {
+      val r = runEpoch(spark, store, pages, robots, cfg)
+      out += r
+      continue = r.frontierSize > 0
+      k += 1
+    }
+    out.result()
+  }
+}

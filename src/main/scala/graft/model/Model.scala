@@ -54,7 +54,8 @@ final case class Candidate(
     url: String,        // canonical form
     host: String,
     priority: Double,
-    discoveredEpoch: Int)
+    discoveredEpoch: Int,
+    retries: Int)
 
 /** Per-epoch, per-partition lineage row (north rule). */
 final case class LineageRow(

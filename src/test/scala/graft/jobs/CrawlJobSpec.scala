@@ -1,0 +1,207 @@
+package graft.jobs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+import graft.data.SyntheticCorpus
+import graft.store.ParquetSnapshotStore
+import graft.frontier.{RobotsRules, Scheduler, SeenSet}
+import graft.model.Candidate
+import graft.core.PyUrl
+import graft.sql.ExtractionOps
+
+/** Crawl-semantics tests (SURVEY.md §5.2(4)): the Spark frontier must match
+  * a straightforward single-threaded in-memory oracle implementing the same
+  * seed list, politeness budget, robots rules, dedup and ordering; plus
+  * exact resume-from-snapshot and determinism across runs. */
+class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("crawl-spec")
+    .config("spark.sql.shuffle.partitions", 8)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val seed = 42L
+  private val N = 2000L // corpus size
+  private val cfg = CrawlJob.Config(
+    seen = SeenSet.Config(numBuckets = 8, expectedPerBucket = 1 << 16),
+    sched = Scheduler.Config(perHostBudget = 4, saltFactor = 4))
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshStore() = new ParquetSnapshotStore(
+    Files.createTempDirectory("crawlstore").toString)
+
+  private def runCrawl(epochs: Int): (ParquetSnapshotStore, Vector[CrawlJob.EpochResult]) = {
+    val store = freshStore()
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, N, 8).toDF())
+    val robots = SyntheticCorpus.robots(spark, seed).toDF()
+    CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, seed, N, 20), cfg)
+    val results = (1 to epochs).map { _ =>
+      CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+    }.toVector
+    (store, results)
+  }
+
+  private def scheduledTable(store: ParquetSnapshotStore): Vector[(Long, Long, String)] = {
+    import spark.implicits._
+    val snap = store.latest().get
+    (0L to snap.epoch).flatMap { e =>
+      val p = snap.tables.get("scheduled")
+      // read every epoch's scheduled table from its committed path pattern
+      val path = p.get.replaceAll("v\\d+$", s"v$e")
+      spark.read.parquet(path).select("epoch", "seq", "url").as[(Long, Long, String)].collect()
+    }.toVector.sortBy(r => (r._1, r._2))
+  }
+
+  // ---------- in-memory oracle ------------------------------------------------
+
+  private def oracle(epochs: Int): Vector[(Int, Vector[String])] = {
+    // materialize the corpus once
+    val pages: Map[String, Array[Byte]] = {
+      val best = scala.collection.mutable.Map.empty[String, (Long, String, Array[Byte])]
+      for (i <- 0L until N) {
+        val u = PyUrl.canonicalize(SyntheticCorpus.urlOf(seed, i)).get
+        val html = SyntheticCorpus.htmlOf(seed, i, N).getBytes("UTF-8")
+        val ts = SyntheticCorpus.tsOf(seed, i)
+        val b64 = java.util.Base64.getEncoder.encodeToString(html)
+        val ord = Ordering.Tuple2[Long, String]
+        best.get(u) match {
+          case Some((ots, ob64, _)) if ord.compare((ots, ob64), (ts, b64)) >= 0 => ()
+          case _ => best(u) = (ts, b64, html)
+        }
+      }
+      best.view.mapValues(_._3).toMap
+    }
+    val robots: Map[String, (Vector[String], Option[Double])] =
+      (0 until SyntheticCorpus.NumHosts).flatMap { r =>
+        if (r % 3 == 0)
+          Some(s"host$r.example" -> (Vector(s"/p${(r % 10).toHexString}"),
+            if (r % 9 == 0) Some(2.0) else None))
+        else None
+      }.toMap
+
+    def hostOf(u: String) = PyUrl.hostOf(u)
+    def pathOf(u: String) = {
+      val rest = u.substring(u.indexOf("://") + 3)
+      val s = rest.indexOf('/')
+      if (s < 0) "/" else rest.substring(s)
+    }
+
+    // seeds (same derivation as SyntheticCorpus.seeds)
+    var frontier = Map.empty[String, Candidate]
+    val seedsLocal = {
+      import spark.implicits._
+      SyntheticCorpus.seeds(spark, seed, N, 20).collect().toVector
+    }
+    def addCand(c: Candidate): Unit = frontier.get(c.url) match {
+      case Some(e) =>
+        val keep =
+          if (e.priority != c.priority) { if (e.priority > c.priority) e else c }
+          else if (e.retries != c.retries) { if (e.retries > c.retries) e else c }
+          else if (e.discoveredEpoch <= c.discoveredEpoch) e else c
+        frontier += c.url -> keep
+      case None => frontier += c.url -> c
+    }
+    for ((u, p) <- seedsLocal; cu <- PyUrl.canonicalize(u))
+      addCand(Candidate(cu, hostOf(cu), p, 0, 0))
+
+    var seen = Set.empty[String]
+    val out = Vector.newBuilder[(Int, Vector[String])]
+    for (epoch <- 0 until epochs) {
+      val cands = frontier.values.toVector
+      val unseen = cands.filter(c => c.retries > 0 || !seen.contains(c.url))
+      val gated = unseen.filter { c =>
+        robots.get(c.host) match {
+          case Some((dis, _)) => RobotsRules(dis, Vector.empty, None).allowed(pathOf(c.url))
+          case None => true
+        }
+      }
+      val blocked = unseen.filterNot(gated.contains)
+      val scheduled = gated.groupBy(_.host).toVector.flatMap { case (h, cs) =>
+        val budget = robots.get(h).flatMap(_._2) match {
+          case Some(d) => math.max(1, math.min(cfg.sched.perHostBudget, (cfg.epochWindowSec / d).toInt))
+          case None    => cfg.sched.perHostBudget
+        }
+        cs.sortBy(c => (-c.priority, c.url)).take(budget)
+      }.sortBy(c => (c.host, -c.priority, c.url))
+      out += ((epoch, scheduled.map(_.url)))
+
+      // advance state
+      val schedSet = scheduled.map(_.url).toSet
+      seen ++= scheduled.filter(_.retries == 0).map(_.url)
+      frontier = frontier -- blocked.map(_.url) -- schedSet // residual = allowed - scheduled
+      // (robots-blocked are consumed: they were removed from the frontier by the gate)
+      frontier = frontier.filter { case (u, c) => !schedSet.contains(u) }
+      // re-add: nothing for fetched (closed world: all scheduled exist)
+      for (c <- scheduled) {
+        val html = pages(c.url)
+        for (link <- ExtractionOps.extractOutlinks(html, c.url);
+             cu <- PyUrl.canonicalize(link)) {
+          addCand(Candidate(cu, hostOf(cu), c.priority * cfg.linkPriorityDecay, epoch, 0))
+        }
+      }
+      // drop anything scheduled this epoch from frontier (just added links may collide)
+      frontier = frontier.filter { case (u, _) => !schedSet.contains(u) }
+      // drop already-seen (they'd be deduped next epoch anyway — keep; engine dedups next epoch)
+    }
+    out.result()
+  }
+
+  // ---------- tests -----------------------------------------------------------
+
+  test("three epochs run, counters sane, no url scheduled twice") {
+    import spark.implicits._
+    val (store, results) = runCrawl(3)
+    assert(results.forall(_.scheduled > 0))
+    assert(results.head.fetched == results.head.scheduled) // closed world
+    assert(results.map(_.discovered).sum > 0)
+    val sched = scheduledTable(store)
+    assert(sched.nonEmpty)
+    assert(sched.map(_._3).distinct.size == sched.size, "a url was scheduled twice")
+  }
+
+  test("determinism: two independent runs produce identical crawl order") {
+    val (s1, _) = runCrawl(3)
+    val (s2, _) = runCrawl(3)
+    assert(scheduledTable(s1) == scheduledTable(s2))
+  }
+
+  test("exact resume: run 2 epochs, resume for 1 == straight 3-epoch run") {
+    val (s1, _) = runCrawl(3)
+    // interrupted run: 2 epochs, then a brand-new store handle resumes
+    val store = freshStore()
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, N, 8).toDF())
+    val robots = SyntheticCorpus.robots(spark, seed).toDF()
+    CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, seed, N, 20), cfg)
+    CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+    CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+    // resume from the SAME directory via a brand-new store instance
+    val resumed = new ParquetSnapshotStore(store.rootDir)
+    val r3 = CrawlJob.runEpoch(spark, resumed, pages, robots, cfg)
+    assert(r3.epoch == 2)
+    assert(scheduledTable(s1) == scheduledTable(resumed))
+  }
+
+  test("crawl order and seen membership match the in-memory oracle") {
+    val (store, _) = runCrawl(3)
+    val got = scheduledTable(store).groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val expect = oracle(3).toMap
+    for (e <- 0 to 2) {
+      assert(got.getOrElse(e.toLong, Vector.empty) == expect.getOrElse(e, Vector.empty),
+        s"epoch $e order mismatch")
+    }
+  }
+
+  test("robots gate blocks disallowed paths") {
+    val (_, results) = runCrawl(3)
+    assert(results.map(_.robotsBlocked).sum > 0, "expected some robots-blocked urls in the synthetic corpus")
+  }
+}

@@ -1,24 +1,91 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: headline queries at SPARK_GRAFT_SF_DIR + the crawl
+  * north-metric (URLs scheduled+extracted/sec on the synthetic frontier).
+  * Prints ONE JSON line. CPU count comes from SPARK_GRAFT_CPUS so the
+  * driver (and BASELINE.md's scaling protocol) can run the same job at
+  * local[8] vs local[32] and compute efficiency = T32 / (4 * T8). */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val crawlPages = sys.env.getOrElse("SPARK_GRAFT_CRAWL_PAGES", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    graft.sql.GraftFunctions.register(spark)
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm the JVM/codegen once on the smallest table
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((name, fn) <- SparkEntry.queries if name != "crawl_schedule") {
+      val (_, sec) = time {
+        try fn(spark, sfDir).collect().length
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      }
+      results(name) = sec
+    }
+
+    // crawl north-metric: urls scheduled+extracted over 3 epochs
+    val (crawlUrls, crawlSec) = time {
+      import graft.jobs.CrawlJob
+      import graft.frontier.{SeenSet, Scheduler}
+      val root = java.nio.file.Files.createTempDirectory("bench-crawl").toString
+      val store = new graft.store.ParquetSnapshotStore(root)
+      val cfg = CrawlJob.Config(
+        seen = SeenSet.Config(numBuckets = 32, expectedPerBucket = 1 << 18),
+        sched = Scheduler.Config(perHostBudget = 64, saltFactor = 8),
+        shufflePartitions = cpus)
+      val pages = CrawlJob.preparePages(
+        graft.data.SyntheticCorpus.pages(spark, 42L, crawlPages, cpus).toDF())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pages.count()
+      val robots = graft.data.SyntheticCorpus.robots(spark, 42L).toDF()
+      CrawlJob.init(spark, store, graft.data.SyntheticCorpus.seeds(spark, 42L, crawlPages, 200), cfg)
+      val rs = (1 to 3).map(_ => CrawlJob.runEpoch(spark, store, pages, robots, cfg))
+      rs.map(_.fetched).sum
+    }
+    results("crawl_3epochs") = crawlSec
+    val urlsPerSec = if (crawlSec > 0) crawlUrls / crawlSec else 0.0
+
+    // extraction-only throughput (pages/s through extract_html, wiki-sized)
+    val (exN, exSec) = time {
+      val wiki = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/webarchive/sample_data/Wikipedia.webarchive"))
+      import spark.implicits._
+      val n = 512L
+      val df = spark.range(0, n, 1, cpus).map(i => ("https://en.wikipedia.org/wiki/Main_Page", wiki))
+        .toDF("url", "html")
+      df.select(org.apache.spark.sql.functions.length(
+        graft.sql.GraftFunctions.extract_html(
+          org.apache.spark.sql.functions.col("html"),
+          org.apache.spark.sql.functions.col("url")))).agg(Map("length(extract_html(html, url))" -> "sum")).collect()
+      n
+    }
+    results("extract_512_wiki_pages") = exSec
+    val pagesPerSec = if (exSec > 0) exN / exSec else 0.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""crawl_urls_per_sec":$urlsPerSec%.1f,"extract_pages_per_sec":$pagesPerSec%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs in the hot path) so Catalyst keeps whole-stage codegen,
+  * pushdown and pruning intact.
+  */
+object TextStats {
+
+  /** Whitespace token count (size(regexp "\S+") — robust to empty/blank). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation singletons
+    * (the common pre-tokenizer regex family, GPT-2 style simplified). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation ratio: punctuation chars / non-space chars. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s+", ""))
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    when(nonSpace > 0, punct.cast("double") / nonSpace.cast("double")).otherwise(0.0)
+  }
+
+  /** Mean word length (quality signal; garbage text skews high or low). */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks > 0,
+      length(regexp_replace(text, "\\s+", "")).cast("double") / toks.cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+    when(letters > 0, uppers.cast("double") / letters.cast("double")).otherwise(0.0)
+  }
+
+  private val stopwordsEn = Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for")
+  private val stopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+  private val stopwordsFr = Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour")
+  private val stopwordsEs = Seq("el", "la", "los", "y", "es", "una", "del", "en", "que", "por")
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val pattern = words.mkString("(?i)\\b(", "|", ")\\b")
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+  }
+
+  /** Stopword ratio against the English list (classic quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks > 0, stopwordHits(text, stopwordsEn).cast("double") / toks.cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * sane punctuation + sane word length. Deterministic, columnar. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(charCount(text).between(200, 50000), 1.0)
+      .when(charCount(text).between(50, 199), 0.5).otherwise(0.0)
+    val stopScore = when(stopwordRatio(text) >= 0.05, 1.0)
+      .when(stopwordRatio(text) >= 0.02, 0.5).otherwise(0.0)
+    val punctScore = when(punctRatio(text) <= 0.2, 1.0)
+      .when(punctRatio(text) <= 0.4, 0.5).otherwise(0.0)
+    val wordScore = when(meanWordLen(text).between(3.0, 12.0), 1.0).otherwise(0.0)
+    (lenScore + stopScore + punctScore + wordScore) / 4.0
+  }
+
+  /** N-gram-heuristic language ID over {en,de,fr,es}: winner by stopword
+    * hit count, "und"/"der" vs "the"/"of" style. Unknown -> "und". */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, stopwordsEn)
+    val de = stopwordHits(text, stopwordsDe)
+    val fr = stopwordHits(text, stopwordsFr)
+    val es = stopwordHits(text, stopwordsEs)
+    val m = greatest(en, de, fr, es)
+    when(m === lit(0), "und")
+      .when(en === m, "en").when(de === m, "de")
+      .when(fr === m, "fr").otherwise("es")
+  }
+
+  /** Document fingerprint: xxhash64 of the 8 smallest 5-gram token hashes
+    * (winnowing-style robust fingerprint — stable under small edits). */
+  def fingerprint(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val grams = when(size(toks) >= 5,
+      transform(sequence(lit(0), size(toks) - 5),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(5))))))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+    xxhash64(concat_ws(",", transform(slice(array_sort(grams), 1, 8), _.cast("string"))))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the training-data pipeline operators. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", 8)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // long, varied text: near-dup edits only perturb a few shingles
+  private val base = (1 to 60).map(i => s"sentence$i word${i * 7 % 13} token${i * 3 % 11}").mkString(" ")
+
+  test("exact dedup keeps min id per identical text") {
+    val df = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa", 5L -> "ccc")
+    val kept = Dedup.exactKeepMin(df, col("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L))
+    val groups = Dedup.exactGroups(df, col("text"), "doc_id")
+      .filter(col("n") > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n") == 3 && groups(0).getAs[Long]("keeper") == 1)
+  }
+
+  test("minhash LSH finds identical and near-identical docs, not unrelated") {
+    val near = base.replace("sentence7", "sentence999") // 1 of 180 words
+    val unrelated = (1 to 60).map(i => s"other$i thing${i % 17} stuff${i % 19}").mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> near, 4L -> unrelated)
+    val dups = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = dups.map(d => (d._1, d._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"identical docs not found: ${dups.mkString(",")}")
+    assert(dups.find(d => d._1 == 1L && d._2 == 2L).get._3 == 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near-dup not found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc matched")
+  }
+
+  test("simhash: identical docs at hamming 0; near docs small hamming") {
+    val near = base.replace("sentence7", "sentence999")
+    val df = docs(1L -> base, 2L -> base, 3L -> near)
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 12)
+    val dups = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical 1.0, disjoint 0.0") {
+    val df = docs(1L -> "a b c d e f g", 2L -> "a b c d e f g", 3L -> "x y z w q r s")
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(df, pairs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("embedding near-dups and ANN top-k") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int): Seq[Float] = (0 until dim).map(i => math.sin(seed * 31 + i).toFloat)
+    val rows = Seq(
+      (0L, vec(1)), (1L, vec(1)), // identical pair
+      (2L, vec(2)), (3L, vec(3)), (4L, vec(4)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      threshold = 0.999, planes = 6, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.contains((0L, 1L)))
+
+    val top = Similarity.bruteForceTopK(df.filter(col("vec_id") =!= 0), "vec_id", "embedding", vec(1), 2)
+      .collect()
+    assert(top(0).getLong(0) == 1L, "nearest to query must be its identical twin")
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-6)
+
+    val lsh = Similarity.lshTopK(df.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      vec(1), 2, planes = 6, dim = dim)
+      .collect()
+    assert(lsh.nonEmpty && lsh(0).getLong(0) == 1L, "LSH must find the identical twin (same bucket)")
+  }
+
+  test("text stats: token counts, langid, quality, fingerprint stability") {
+    import spark.implicits._
+    val en = "the cat sat of the mat and it was good for everyone involved " * 4
+    val de = "der hund und die katze sind nicht mit dem auto von berlin zu haus " * 4
+    val df = Seq((1L, en), (2L, de), (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("toks"),
+        TextStats.langId(col("text")).as("lang"),
+        TextStats.qualityScore(col("text")).as("q"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("toks") == 13 * 4)
+    assert(got(1L).getAs[String]("lang") == "en")
+    assert(got(2L).getAs[String]("lang") == "de")
+    assert(got(3L).getAs[Int]("toks") == 0)
+    assert(got(1L).getAs[Double]("q") > got(3L).getAs[Double]("q"))
+    // fingerprint: deterministic for equal text, different for different text
+    val fp1 = df.filter(col("doc_id") === 1).select(TextStats.fingerprint(col("text"))).collect()(0).getLong(0)
+    val same = Seq((9L, en)).toDF("doc_id", "text")
+    val fpSame = same.select(TextStats.fingerprint(col("text"))).collect()(0).getLong(0)
+    assert(fp1 == fpSame, "fingerprint must be deterministic")
+    val other = Seq((10L, de)).toDF("doc_id", "text")
+    val fpOther = other.select(TextStats.fingerprint(col("text"))).collect()(0).getLong(0)
+    assert(fp1 != fpOther, "different docs should fingerprint differently")
+  }
+
+  test("multimodal feature plumbing: deterministic, null-safe") {
+    val media = Multimodal.syntheticMedia(spark, 50L)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.features.length == 16))
+    assert(feats.forall(_.ok))
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.map(_.content_hash).sorted.sameElements(again.map(_.content_hash).sorted))
+  }
+}

@@ -227,6 +227,30 @@ object SparkEntry {
       s.read.parquet(snap.tables("scheduled")).select("epoch", "seq", "url").orderBy("epoch", "seq")
     }),
 
+    "extract_files_manifest" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val wiki = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/webarchive/sample_data/Wikipedia.webarchive"))
+      s.createDataFrame(Seq(("https://en.wikipedia.org/wiki/Main_Page", wiki)))
+        .toDF("url", "html")
+        .select(explode(GraftFunctions.extract_files(col("html"), lit("page.html"))).as("f"))
+        .select(col("f.path"), col("f.sha256"), col("f.bytes"))
+        .orderBy("path")
+    }),
+    "mime_classes" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val wiki = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/webarchive/sample_data/Wikipedia.webarchive"))
+      s.createDataFrame(Seq(("https://en.wikipedia.org/wiki/Main_Page", wiki)))
+        .toDF("url", "html")
+        .select(explode(GraftFunctions.parse_webarchive(col("html")).getField("subresources")).as("r"))
+        .select(col("r.mime_type").as("mime"),
+          GraftFunctions.is_html_mime(col("r.mime_type")).as("is_html"),
+          GraftFunctions.is_text_mime(col("r.mime_type")).as("is_text"))
+        .groupBy("mime", "is_html", "is_text").agg(count(lit(1)).as("n"))
+        .orderBy("mime")
+    }),
+
     // ---- multimodal plumbing ----------------------------------------------------
     "media_features" -> ((s, d) => {
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 300L))

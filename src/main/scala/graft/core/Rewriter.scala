@@ -18,7 +18,11 @@ import java.util.regex.Pattern
   */
 object Rewriter {
 
-  final class WebArchiveError(msg: String) extends RuntimeException(msg)
+  /** Control-flow exception (the reference uses WebArchiveError for every
+    * lookup miss, ~hundreds per page): stackless — writable stack traces
+    * would dominate the rewrite hot path. */
+  final class WebArchiveError(msg: String)
+      extends RuntimeException(msg, null, false, false)
 
   // --- charset handling (python codec name -> java) --------------------------
 
@@ -260,6 +264,73 @@ object Rewriter {
         var i = start
         while (i < written) { output.append(' '); i += 1 }
         output.append(text)
+    }
+  }
+
+  /** Event sink that observes the SAME tokenizer pass used for rewriting:
+    * collects visible text (script/style skipped, charrefs resolved) and
+    * outlinks (a/area href, frame/iframe src) without a second parse. */
+  final class PageObserver(baseUrl: String) {
+    val text = new StringBuilder
+    private var skip = 0
+    private val links = scala.collection.mutable.LinkedHashSet.empty[String]
+    def onStart(tag: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
+      if (!selfClosing && (tag == "script" || tag == "style")) skip += 1
+      for ((a, v) <- attrs if v != null && v.nonEmpty) {
+        if (((tag == "a" || tag == "area") && a == "href") ||
+            ((tag == "frame" || tag == "iframe") && a == "src")) {
+          val abs = try PyUrl.urljoin(baseUrl, v) catch { case _: Exception => null }
+          if (abs != null && (abs.startsWith("http://") || abs.startsWith("https://")))
+            links += abs
+        }
+      }
+    }
+    def onEnd(tag: String): Unit =
+      if ((tag == "script" || tag == "style") && skip > 0) skip -= 1
+    def onData(d: String): Unit = if (skip == 0) text.append(d)
+    def onEntity(name: String): Unit = if (skip == 0) text.append(PyHtml.unescape(s"&$name;"))
+    def onCharref(name: String): Unit = if (skip == 0) text.append(PyHtml.unescape(s"&#$name;"))
+    def outlinks: Vector[String] = links.toVector
+  }
+
+  /** Single-pass extraction: rewritten HTML + visible text + outlinks from
+    * ONE tokenizer run (the separate expressions parse the page 3-4x). */
+  def extractAll(archive: WArchive): (String, String, Vector[String]) = {
+    val ctx = new ArchiveCtx(archive)
+    val main = archive.main
+    if (!Mime.isHtml(main.mimeType))
+      return (new String(main.data, charsetFor(main.textEncoding.getOrElse("utf-8"))), "", Vector.empty)
+    val out = new StringBuilder
+    val obs = new PageObserver(main.url)
+    val text = resourceText(main)
+    try {
+      val inner = new HtmlRewriteHandler(ctx, main, out, null, 0)
+      val h = new HtmlTok.Handler {
+        override def starttag(tag: String, attrs: List[(String, String)]): Unit = {
+          obs.onStart(tag, attrs, selfClosing = false); inner.starttag(tag, attrs)
+        }
+        override def startendtag(tag: String, attrs: List[(String, String)]): Unit = {
+          obs.onStart(tag, attrs, selfClosing = true); inner.startendtag(tag, attrs)
+        }
+        override def endtag(tag: String): Unit = { obs.onEnd(tag); inner.endtag(tag) }
+        override def data(d: String): Unit = { obs.onData(d); inner.data(d) }
+        override def entityref(name: String): Unit = { obs.onEntity(name); inner.entityref(name) }
+        override def charref(name: String): Unit = { obs.onCharref(name); inner.charref(name) }
+        override def comment(d: String): Unit = inner.comment(d)
+        override def decl(d: String): Unit = inner.decl(d)
+      }
+      HtmlTok.tokenize(text, h)
+      (out.toString, obs.text.toString, obs.outlinks)
+    } catch {
+      case _: Throwable =>
+        // reference fallback parity (NUL padding + raw text); text/links
+        // degrade to the raw-source tokenization of the fallback output
+        val written = out.length
+        out.setLength(0)
+        var i = 0
+        while (i < written) { out.append('\u0000'); i += 1 }
+        out.append(text)
+        (out.toString, "", Vector.empty)
     }
   }
 

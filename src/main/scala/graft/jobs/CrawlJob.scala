@@ -86,12 +86,24 @@ object CrawlJob {
     val snap = store.latest().getOrElse(sys.error("no snapshot to resume from — call init() first"))
     val epoch = snap.epoch + 1
 
+    // Counters piggyback on the epoch's write actions via CollectMetrics
+    // (Observation) instead of separate count() jobs — at 10^10 scale every
+    // extra count() is a full pass over a huge table.
+    import org.apache.spark.sql.Observation
+    val obsUnseen = Observation(s"unseen-$epoch")
+    val obsGate = Observation(s"gate-$epoch")
+    val obsSched = Observation(s"sched-$epoch")
+    val obsFetch = Observation(s"fetch-$epoch")
+    val obsNext = Observation(s"next-$epoch")
+    val obsDisc = Observation(s"disc-$epoch")
+
     val frontier = store.readTable(spark, snap, "frontier").as[Candidate]
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // frontier row count is already known exactly: the previous snapshot
+    // recorded it at write time (no extra pass, no metric plumbing)
+    val inRows = snap.counters.getOrElse("frontierSize", 0L)
     val seen = store.readTable(spark, snap, "seen")
     val blooms = store.readTable(spark, snap, "blooms").as[SeenSet.BucketBloom]
-
-    val inRows = frontier.count()
 
     // 1. in-batch URL dedup: keep the best (priority DESC, url-stable)
     val dedupInBatch = frontier.groupByKey(_.url).reduceGroups { (a, b) =>
@@ -108,9 +120,8 @@ object CrawlJob {
     val retriesIn = dedupInBatch.filter(_.retries > 0)
     val unseen = SeenSet.filterNew(spark, fresh, seen, blooms, cfg.seen)
       .unionByName(retriesIn)
+      .toDF().observe(obsUnseen, count(lit(1)).as("n")).as[Candidate]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val unseenCount = unseen.count()
-    val dedupedCount = inRows - unseenCount
 
     // 3. robots gate: broadcast the (small) per-host rule table
     val rulesDf = robots.select(col("host"),
@@ -136,6 +147,7 @@ object CrawlJob {
           greatest(lit(1), least(lit(cfg.sched.perHostBudget),
             floor(lit(cfg.epochWindowSec) / col("crawl_delay")).cast("int"))))
         .otherwise(lit(cfg.sched.perHostBudget)))
+      .observe(obsGate, sum(when(col("__allowed"), 0L).otherwise(1L)).as("blocked"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val allowed = gated.filter(col("__allowed"))
       .select("url", "host", "priority", "discoveredEpoch", "retries").as[Candidate]
@@ -144,40 +156,41 @@ object CrawlJob {
       .select(struct(col("url"), col("host"), col("priority"), col("discoveredEpoch"),
                      col("retries")).as("_1"), col("__budget").as("_2"))
       .as[(Candidate, Int)]
-    val robotsBlocked = gated.filter(!col("__allowed")).count()
 
     // 4. politeness dequeue (two-phase salted top-k, crawl-delay budgets)
     val scheduled = Scheduler.dequeueWithBudget(spark, allowedBudgeted, cfg.sched)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val scheduledCount = scheduled.count()
 
     // deterministic seq: distributed sort + zipWithIndex
     val scheduledSeq: Dataset[ScheduledRow] = {
       val sorted = scheduled.rdd.sortBy(c => (c.host, -c.priority, c.url))
       spark.createDataset(sorted.zipWithIndex().map { case (c, i) =>
         ScheduledRow(epoch, i, c.url, c.host, c.priority, c.retries)
-      })
+      }).toDF().observe(obsSched, count(lit(1)).as("n")).as[ScheduledRow]
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
     // 5. "fetch": join the prepared pages corpus (unique canonical url —
     //    see preparePages) on url
     val fetchJoin = scheduledSeq.toDF().join(pages.select("url", "html"), Seq("url"), "left")
+      .observe(obsFetch,
+        sum(when(col("html").isNotNull, 1L).otherwise(0L)).as("fetched"),
+        sum(when(col("html").isNull && col("retries") < cfg.maxRetries, 1L).otherwise(0L)).as("retried"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fetched = fetchJoin.filter(col("html").isNotNull).persist(StorageLevel.MEMORY_AND_DISK)
-    val fetchedCount = fetched.count()
+    val fetched = fetchJoin.filter(col("html").isNotNull)
 
     // misses -> retry (bounded)
     val misses = fetchJoin.filter(col("html").isNull)
       .select("url", "host", "priority", "retries").as[(String, String, Double, Int)]
     val retryCands = misses.filter(_._4 < cfg.maxRetries)
       .map { case (u, h, p, r) => Candidate(u, h, p, epoch.toInt, r + 1) }
-    val retriedCount = retryCands.count()
 
-    // 6. extraction (Catalyst-native expressions) + outlink discovery
+    // 6. extraction (single-pass Catalyst-native operator) + outlinks
     val extracted = fetched
-      .withColumn("extracted_html", extract_html(col("html"), col("url")))
-      .withColumn("text", extract_text(col("html"), col("url")))
-      .withColumn("outlinks", extract_outlinks(col("html"), col("url")))
+      .withColumn("__x", extract_all(col("html"), col("url")))
+      .select(col("*"), col("__x.extracted_html").as("extracted_html"),
+              col("__x.text").as("text"), col("__x.outlinks").as("outlinks"))
+      .drop("__x", "html")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val discovered: Dataset[Candidate] = extracted
@@ -193,14 +206,16 @@ object CrawlJob {
       else a // identical url+epoch+priority: fields all equal
     }.map(_._2)
       .join(scheduledSeq.select("url"), Seq("url"), "left_anti").as[Candidate]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val discoveredCount = discoveredDedup.count()
+      .toDF().observe(obsDisc, count(lit(1)).as("n")).as[Candidate]
 
     // 7. next state
     val residual = Scheduler.residual(spark, allowed, scheduled)
-    val nextFrontier = residual.unionByName(retryCands).unionByName(discoveredDedup)
+    val nextFrontier = residual.unionByName(retryCands)
+      .toDF().observe(obsNext,
+        count(lit(1)).as("n"),
+        sum(when(col("retries") > 0, 1L).otherwise(0L)).as("retriedOut")).as[Candidate]
+      .unionByName(discoveredDedup)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val frontierSize = nextFrontier.count()
 
     val newlySeen = scheduledSeq.filter(_.retries == 0).map(_.url)
     val nextSeen = seen.unionByName(
@@ -225,7 +240,8 @@ object CrawlJob {
         }
     }
 
-    // 9. atomic snapshot commit
+    // 9. atomic snapshot commit (these writes are the actions that fire
+    // every Observation above)
     val tables = Map(
       "frontier" -> store.writeTable("frontier", epoch, nextFrontier.toDF()),
       "seen" -> store.writeTable("seen", epoch, nextSeen),
@@ -234,6 +250,18 @@ object CrawlJob {
       "extracted" -> store.writeTable("extracted", epoch,
         extracted.select("epoch", "seq", "url", "extracted_html", "text")),
       "lineage" -> store.writeTable("lineage", epoch, lineage.toDF()))
+
+    def metric(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get.get(k).map(v => if (v == null) 0L else v.asInstanceOf[Long]).getOrElse(0L)
+    val unseenCount = metric(obsUnseen, "n")
+    val dedupedCount = inRows - unseenCount
+    val robotsBlocked = metric(obsGate, "blocked")
+    val scheduledCount = metric(obsSched, "n")
+    val fetchedCount = metric(obsFetch, "fetched")
+    val retriedCount = metric(obsFetch, "retried")
+    val discoveredCount = metric(obsDisc, "n")
+    val frontierSize = metric(obsNext, "n") + discoveredCount
+
     val counters = Map(
       "scheduled" -> scheduledCount, "fetched" -> fetchedCount,
       "deduped" -> dedupedCount, "robotsBlocked" -> robotsBlocked,
@@ -241,8 +269,9 @@ object CrawlJob {
       "frontierSize" -> frontierSize)
     store.commit(epoch, tables, counters)
 
-    Seq(frontier, unseen, gated, allowed, scheduled, fetchJoin, fetched, extracted,
-        discoveredDedup, nextFrontier).foreach(d => d.unpersist())
+    Seq(frontier.toDF(), unseen.toDF(), gated, allowed.toDF(), scheduled.toDF(),
+        scheduledSeq.toDF(), fetchJoin, extracted, nextFrontier.toDF())
+      .foreach(d => d.unpersist())
 
     EpochResult(epoch, scheduledCount, fetchedCount, dedupedCount, robotsBlocked,
                 retriedCount, discoveredCount, frontierSize)

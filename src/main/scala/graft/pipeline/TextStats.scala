@@ -87,14 +87,12 @@ object TextStats {
       .when(fr === m, "fr").otherwise("es")
   }
 
-  /** Document fingerprint: xxhash64 of the 8 smallest 5-gram token hashes
-    * (winnowing-style robust fingerprint — stable under small edits). */
-  def fingerprint(text: Column): Column = {
-    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
-    val grams = when(size(toks) >= 5,
-      transform(sequence(lit(0), size(toks) - 5),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(5))))))
-      .otherwise(array(xxhash64(concat_ws(" ", toks))))
-    xxhash64(concat_ws(",", transform(slice(array_sort(grams), 1, 8), _.cast("string"))))
-  }
+  /** Document fingerprint: mix of the 8 smallest 5-gram token hashes
+    * (winnowing-style robust fingerprint). A custom one-pass Catalyst
+    * expression: the HOF-column formulation re-ran the tokenizer per gram
+    * (quadratic interpreted eval, 43s at sf0.1 vs <2s now). */
+  def fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.Fingerprint64Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 }

@@ -77,6 +77,11 @@ object GraftFunctions {
   def url_join(base: Column, rel: Column): Column = col(UrlJoinExpr(ex(base), ex(rel)))
   def url_host(url: Column): Column = col(UrlHostExpr(ex(url)))
   def resource_count(body: Column): Column = col(ResourceCountExpr(ex(body)))
+  def extract_files(body: Column, outName: Column): Column = col(ExtractFilesExpr(ex(body), ex(outName)))
+  def fingerprint64(text: Column): Column = col(Fingerprint64Expr(ex(text)))
+  def is_html_mime(m: Column): Column = col(IsHtmlMimeExpr(ex(m)))
+  def is_text_mime(m: Column): Column = col(IsTextMimeExpr(ex(m)))
+  def extract_all(body: Column, url: Column): Column = col(ExtractAllExpr(ex(body), ex(url)))
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_html" -> (args => ExtractHtmlExpr(args(0), args(1))),
@@ -86,7 +91,12 @@ object GraftFunctions {
     "url_canonicalize" -> (args => UrlCanonicalizeExpr(args(0))),
     "url_join" -> (args => UrlJoinExpr(args(0), args(1))),
     "url_host" -> (args => UrlHostExpr(args(0))),
-    "resource_count" -> (args => ResourceCountExpr(args(0))))
+    "resource_count" -> (args => ResourceCountExpr(args(0))),
+    "extract_files" -> (args => ExtractFilesExpr(args(0), args(1))),
+    "fingerprint64" -> (args => Fingerprint64Expr(args(0))),
+    "is_html_mime" -> (args => IsHtmlMimeExpr(args(0))),
+    "is_text_mime" -> (args => IsTextMimeExpr(args(0))),
+    "extract_all" -> (args => ExtractAllExpr(args(0), args(1))))
 
   /** Register all operators in the session FunctionRegistry for SQL use. */
   def register(spark: SparkSession): Unit = {

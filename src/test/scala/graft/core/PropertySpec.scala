@@ -1,0 +1,145 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5.2(3)): invariants that goldens can't pin.
+  * Minimal deterministic forAll (scalatestplus bridge unavailable offline):
+  * 200 samples per property from a fixed seed. */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A])(check: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    var n = 0
+    while (n < 200 && i < 2000) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(v) => check(v); n += 1
+        case None    => ()
+      }
+      seed = seed.next
+      i += 1
+    }
+    assert(n >= 100, s"generator too sparse: only $n samples")
+  }
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "ftp", "mailto", "")
+    host <- Gen.oneOf("example.com", "HOST.Example.COM:8080", "h.x:443", "a.b.c")
+    path <- Gen.listOfN(3, Gen.oneOf("a", "b%20c", "..", ".", "x.y", "")).map(_.mkString("/"))
+    q <- Gen.oneOf("", "?q=1", "?a=%41")
+    f <- Gen.oneOf("", "#frag")
+  } yield if (scheme.isEmpty) s"//$host/$path$q$f" else s"$scheme://$host/$path$q$f"
+
+  test("canonicalize is idempotent") {
+    forAll(urlGen) { u =>
+      PyUrl.canonicalize(u) match {
+        case Some(c) => assert(PyUrl.canonicalize(c).contains(c), s"not idempotent: $u -> $c")
+        case None    => ()
+      }
+    }
+  }
+
+  test("canonical urls always have a host and http(s) scheme") {
+    forAll(urlGen) { u =>
+      PyUrl.canonicalize(u).foreach { c =>
+        assert(c.startsWith("http://") || c.startsWith("https://"))
+        assert(PyUrl.hostOf(c).nonEmpty)
+      }
+    }
+  }
+
+  test("escape/unescape round-trip for arbitrary strings") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      assert(PyHtml.unescape(PyHtml.escape(s)) == s)
+    }
+  }
+
+  test("local paths are unique within an archive and order-deterministic") {
+    import graft.model.{WArchive, WResource}
+    val nameGen = Gen.listOfN(12, Gen.oneOf(
+      "https://h.x/img.png", "https://h.x/a/img.png", "https://h.x/b/img.png",
+      "https://h.x/con.png", "https://h.x/", "data:image/png;base64,AA",
+      "https://h.x/x.jpeg", "https://h.x/q?y=1", "https://h.x/%3c%3e.png"))
+    forAll(nameGen) { urls =>
+      val subs = urls.distinct.map(u => WResource(Array[Byte](1), "image/png", u, None, None)).toVector
+      val a = WArchive(WResource(Array[Byte](1), "text/html", "https://h.x/main.html", Some("utf-8"), None),
+        subs, Vector.empty)
+      val p1 = WebArchiveOps.makeLocalPaths(a)
+      val p2 = WebArchiveOps.makeLocalPaths(a)
+      assert(p1 == p2, "not deterministic")
+      val names = p1.map(_._2)
+      assert(names.distinct.size == names.size, s"collision in $names")
+    }
+  }
+
+  test("bloom filters never produce false negatives") {
+    import org.apache.spark.util.sketch.BloomFilter
+    forAll(Gen.listOfN(200, Gen.alphaNumStr.suchThat(_.nonEmpty))) { items =>
+      val bf = BloomFilter.create(1000, 0.01)
+      items.foreach(bf.putString)
+      assert(items.forall(bf.mightContainString), "bloom false negative!")
+      // serialization round-trip preserves membership
+      val rt = graft.frontier.SeenSet.deserialize(graft.frontier.SeenSet.serialize(bf))
+      assert(items.forall(rt.mightContainString))
+    }
+  }
+
+  test("fingerprint64 equals the naive sort-all-grams implementation") {
+    val textGen = Gen.listOf(Gen.oneOf("alpha", "beta", "Gamma", "DELTA", "e", "f42"))
+      .map(_.mkString(" "))
+    def naive(text0: String): Long = {
+      val text = text0.toLowerCase
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val grams =
+        if (toks.length >= 5) (0 to toks.length - 5).map(j => toks.slice(j, j + 5).mkString(" "))
+        else Seq(toks.mkString(" "))
+      val hashes = grams.map(g => com.google.common.hash.Hashing.murmur3_128()
+        .hashString(g, java.nio.charset.StandardCharsets.UTF_8).asLong()).sorted.take(8)
+      def mix(h0: Long): Long = {
+        var h = h0 + 0x9E3779B97F4A7C15L
+        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+        h ^ (h >>> 31)
+      }
+      var acc = 0x27D4EB2F165667C5L
+      for (m <- hashes) acc = mix(acc ^ m)
+      acc
+    }
+    forAll(textGen) { t =>
+      assert(graft.sql.Fingerprint64Expr.fingerprint(t) == naive(t))
+    }
+  }
+
+  test("robots longest-match semantics") {
+    import graft.frontier.RobotsRules
+    val r = RobotsRules(Vector("/private", "/tmp"), Vector("/private/ok"), None)
+    assert(!r.allowed("/private/x"))
+    assert(r.allowed("/private/ok/page.html"))
+    assert(r.allowed("/public"))
+    assert(!r.allowed("/tmp"))
+    assert(RobotsRules(Vector(""), Vector.empty, None).allowed("/anything"))
+  }
+
+  test("robots.txt parsing: groups, agents, crawl-delay") {
+    val body =
+      """# comment
+        |User-agent: evilbot
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /cgi-bin/
+        |Allow: /cgi-bin/public
+        |Crawl-delay: 2.5
+        |""".stripMargin
+    val r = graft.frontier.RobotsRules.parse(body, "graft")
+    assert(r.disallow == Vector("/cgi-bin/"))
+    assert(r.allow == Vector("/cgi-bin/public"))
+    assert(r.crawlDelay.contains(2.5))
+    assert(!r.allowed("/cgi-bin/secret"))
+    assert(r.allowed("/cgi-bin/public/x"))
+    val evil = graft.frontier.RobotsRules.parse(body, "evilbot")
+    assert(!evil.allowed("/anything"))
+  }
+}

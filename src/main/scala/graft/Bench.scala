@@ -32,8 +32,12 @@ object Bench {
     // warm the JVM/codegen once on the smallest table
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // SPARK_GRAFT_SCALING=1: skip the query sweep, run only the scaling
+    // jobs (crawl + extraction) — lets the scaling protocol do repeated
+    // runs on this noisy-neighbor host
+    val scalingOnly = sys.env.contains("SPARK_GRAFT_SCALING")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for ((name, fn) <- SparkEntry.queries if name != "crawl_schedule") {
+    for ((name, fn) <- SparkEntry.queries if name != "crawl_schedule" && !scalingOnly) {
       val (_, sec) = time {
         try fn(spark, sfDir).collect().length
         catch { case e: Throwable =>
@@ -50,35 +54,38 @@ object Bench {
       val store = new graft.store.ParquetSnapshotStore(root)
       val cfg = CrawlJob.Config(
         seen = SeenSet.Config(numBuckets = 32, expectedPerBucket = 1 << 18),
-        sched = Scheduler.Config(perHostBudget = 64, saltFactor = 8),
+        sched = Scheduler.Config(perHostBudget = 256, saltFactor = 8),
         shufflePartitions = cpus)
       val pages = CrawlJob.preparePages(
         graft.data.SyntheticCorpus.pages(spark, 42L, crawlPages, cpus).toDF())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pages.count()
       val robots = graft.data.SyntheticCorpus.robots(spark, 42L).toDF()
-      CrawlJob.init(spark, store, graft.data.SyntheticCorpus.seeds(spark, 42L, crawlPages, 200), cfg)
+      CrawlJob.init(spark, store, graft.data.SyntheticCorpus.seeds(spark, 42L, crawlPages, 400), cfg)
       val rs = (1 to 3).map(_ => CrawlJob.runEpoch(spark, store, pages, robots, cfg))
       rs.map(_.fetched).sum
     }
     results("crawl_3epochs") = crawlSec
     val urlsPerSec = if (crawlSec > 0) crawlUrls / crawlSec else 0.0
 
-    // extraction-only throughput (pages/s through extract_html, wiki-sized)
-    val (exN, exSec) = time {
+    // extraction-only throughput (pages/s through extract_html on the real
+    // 400KB/26-resource fixture): JIT-warm first, then measure 2048 pages
+    val (exN, exSec) = {
       val wiki = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
         "/root/reference/webarchive/sample_data/Wikipedia.webarchive"))
       import spark.implicits._
-      val n = 512L
-      val df = spark.range(0, n, 1, cpus).map(i => ("https://en.wikipedia.org/wiki/Main_Page", wiki))
-        .toDF("url", "html")
-      df.select(org.apache.spark.sql.functions.length(
-        graft.sql.GraftFunctions.extract_html(
-          org.apache.spark.sql.functions.col("html"),
-          org.apache.spark.sql.functions.col("url")))).agg(Map("length(extract_html(html, url))" -> "sum")).collect()
-      n
+      import org.apache.spark.sql.functions.{col, length}
+      def run(n: Long): Unit =
+        spark.range(0, n, 1, cpus).map(i => ("https://en.wikipedia.org/wiki/Main_Page", wiki))
+          .toDF("url", "html")
+          .select(length(graft.sql.GraftFunctions.extract_html(col("html"), col("url"))).as("l"))
+          .agg(Map("l" -> "sum")).collect()
+      run(4L * cpus) // warmup (scanner JIT)
+      val n = 2048L
+      val (_, sec) = time(run(n))
+      (n, sec)
     }
-    results("extract_512_wiki_pages") = exSec
+    results("extract_wiki_pages") = exSec
     val pagesPerSec = if (exSec > 0) exN / exSec else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

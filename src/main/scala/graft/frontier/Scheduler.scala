@@ -66,6 +66,29 @@ object Scheduler {
       }
   }
 
+  /** Dequeue with the within-host rank attached: the final top-k emits in
+    * (priority DESC, url ASC) order per host, so the rank is free — no
+    * global sort/zipWithIndex pass needed for a deterministic total order
+    * (host ASC, rank ASC). */
+  def dequeueRanked(spark: SparkSession, candidates: Dataset[(Candidate, Int)],
+                    cfg: Config): Dataset[(Candidate, Int)] = {
+    import spark.implicits._
+    val partial = candidates
+      .groupByKey { case (c, _) => (c.host, salt(c.url, cfg.saltFactor)) }
+      .flatMapGroups { (_, it) =>
+        val buf = it.buffered
+        val budget = math.min(cfg.perHostBudget, math.max(1, buf.head._2))
+        topK(budget, buf.map(_._1)).map(c => (c, budget))
+      }
+    partial
+      .groupByKey(_._1.host)
+      .flatMapGroups { (_, it) =>
+        val buf = it.buffered
+        val budget = math.min(cfg.perHostBudget, math.max(1, buf.head._2))
+        topK(budget, buf.map(_._1)).zipWithIndex.map { case (c, r) => (c, r) }
+      }
+  }
+
   /** The residual frontier: everything not scheduled. Computed as a
     * left-anti join on url (scheduled is small: hosts * budget). */
   def residual(spark: SparkSession, candidates: Dataset[Candidate],

@@ -83,6 +83,13 @@ object CrawlJob {
   def runEpoch(spark: SparkSession, store: FrontierStore, pages: DataFrame,
                robots: DataFrame, cfg: Config): EpochResult = {
     import spark.implicits._
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      if (sys.env.contains("GRAFT_EPOCH_TIMING"))
+        System.err.println(f"[epoch-timing] $name ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
     val snap = store.latest().getOrElse(sys.error("no snapshot to resume from — call init() first"))
     val epoch = snap.epoch + 1
 
@@ -123,6 +130,7 @@ object CrawlJob {
       .toDF().observe(obsUnseen, count(lit(1)).as("n")).as[Candidate]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    phase("dedup+seen-filter(graph)")
     // 3. robots gate: broadcast the (small) per-host rule table
     val rulesDf = robots.select(col("host"),
       coalesce(col("disallow"), array()).as("disallow"),
@@ -161,6 +169,7 @@ object CrawlJob {
     val scheduled = Scheduler.dequeueWithBudget(spark, allowedBudgeted, cfg.sched)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    phase("gate+dequeue(graph)")
     // deterministic seq: distributed sort + zipWithIndex
     val scheduledSeq: Dataset[ScheduledRow] = {
       val sorted = scheduled.rdd.sortBy(c => (c.host, -c.priority, c.url))
@@ -170,6 +179,7 @@ object CrawlJob {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+    phase("seq-zipWithIndex")
     // 5. "fetch": join the prepared pages corpus (unique canonical url —
     //    see preparePages) on url
     val fetchJoin = scheduledSeq.toDF().join(pages.select("url", "html"), Seq("url"), "left")
@@ -218,8 +228,11 @@ object CrawlJob {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val newlySeen = scheduledSeq.filter(_.retries == 0).map(_.url)
-    val nextSeen = seen.unionByName(
-      newlySeen.map(u => (u, SeenSet.bucketOfUrl(u, cfg.seen.numBuckets))).toDF("url", "bucket"))
+    // seen set is APPEND-ONLY: write just this epoch's delta; the snapshot
+    // records the segment list (rewriting a 10^10-row table per epoch is
+    // not an option)
+    val seenDelta = newlySeen
+      .map(u => (u, SeenSet.bucketOfUrl(u, cfg.seen.numBuckets))).toDF("url", "bucket")
     val nextBlooms = SeenSet.mergeBlooms(spark, blooms, newlySeen, cfg.seen)
 
     // 8. lineage: per-partition accounting of the extraction stage
@@ -240,16 +253,28 @@ object CrawlJob {
         }
     }
 
+    phase("graph-build-rest")
     // 9. atomic snapshot commit (these writes are the actions that fire
     // every Observation above)
+    def timedWrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): (String, String) = {
+      val p = store.writeTable(name, epoch, df, partitionBy)
+      phase(s"write-$name")
+      name -> p
+    }
     val tables = Map(
-      "frontier" -> store.writeTable("frontier", epoch, nextFrontier.toDF()),
-      "seen" -> store.writeTable("seen", epoch, nextSeen),
-      "blooms" -> store.writeTable("blooms", epoch, nextBlooms.toDF()),
-      "scheduled" -> store.writeTable("scheduled", epoch, scheduledSeq.toDF()),
-      "extracted" -> store.writeTable("extracted", epoch,
+      timedWrite("extracted",
         extracted.select("epoch", "seq", "url", "extracted_html", "text")),
-      "lineage" -> store.writeTable("lineage", epoch, lineage.toDF()))
+      // coalesce: the union graph otherwise carries every upstream
+      // partition into the write (160 tiny files per epoch at local[32])
+      timedWrite("frontier", nextFrontier.toDF().coalesce(cfg.shufflePartitions)),
+      {
+        val deltaPath = store.writeTable("seen", epoch, seenDelta)
+        phase("write-seen-delta")
+        "seen" -> (snap.tables("seen") + ";" + deltaPath)
+      },
+      timedWrite("blooms", nextBlooms.toDF()),
+      timedWrite("scheduled", scheduledSeq.toDF()),
+      timedWrite("lineage", lineage.toDF()))
 
     def metric(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get.get(k).map(v => if (v == null) 0L else v.asInstanceOf[Long]).getOrElse(0L)

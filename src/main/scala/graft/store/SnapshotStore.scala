@@ -96,6 +96,10 @@ final class ParquetSnapshotStore(root: String) extends FrontierStore {
     Snapshot(epoch, section("tables"), section("counters").map { case (k, v) => k -> v.toLong })
   }
 
-  override def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame =
-    spark.read.parquet(snap.tables(name))
+  override def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame = {
+    // a table may be a ';'-joined list of append segments (e.g. the seen
+    // set: each epoch appends a delta instead of rewriting history)
+    val paths = snap.tables(name).split(";")
+    spark.read.parquet(paths.toIndexedSeq: _*)
+  }
 }

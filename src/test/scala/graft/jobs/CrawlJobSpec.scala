@@ -50,15 +50,18 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     (store, results)
   }
 
-  private def scheduledTable(store: ParquetSnapshotStore): Vector[(Long, Long, String)] = {
+  /** Crawl order rows as (epoch, url) in the deterministic total order
+    * (epoch, host ASC, seq-within-host ASC). */
+  private def scheduledTable(store: ParquetSnapshotStore): Vector[(Long, String)] = {
     import spark.implicits._
     val snap = store.latest().get
     (0L to snap.epoch).flatMap { e =>
       val p = snap.tables.get("scheduled")
       // read every epoch's scheduled table from its committed path pattern
       val path = p.get.replaceAll("v\\d+$", s"v$e")
-      spark.read.parquet(path).select("epoch", "seq", "url").as[(Long, Long, String)].collect()
-    }.toVector.sortBy(r => (r._1, r._2))
+      spark.read.parquet(path).select("epoch", "host", "seq", "url")
+        .as[(Long, String, Long, String)].collect()
+    }.toVector.sortBy(r => (r._1, r._2, r._3)).map(r => (r._1, r._4))
   }
 
   // ---------- in-memory oracle ------------------------------------------------
@@ -165,7 +168,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(results.map(_.discovered).sum > 0)
     val sched = scheduledTable(store)
     assert(sched.nonEmpty)
-    assert(sched.map(_._3).distinct.size == sched.size, "a url was scheduled twice")
+    assert(sched.map(_._2).distinct.size == sched.size, "a url was scheduled twice")
   }
 
   test("determinism: two independent runs produce identical crawl order") {
@@ -192,7 +195,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("crawl order and seen membership match the in-memory oracle") {
     val (store, _) = runCrawl(3)
-    val got = scheduledTable(store).groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val got = scheduledTable(store).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val expect = oracle(3).toMap
     for (e <- 0 to 2) {
       assert(got.getOrElse(e.toLong, Vector.empty) == expect.getOrElse(e, Vector.empty),

@@ -166,20 +166,17 @@ object CrawlJob {
       .as[(Candidate, Int)]
 
     // 4. politeness dequeue (two-phase salted top-k, crawl-delay budgets)
-    val scheduled = Scheduler.dequeueWithBudget(spark, allowedBudgeted, cfg.sched)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
+    //    with the within-host rank attached by the final top-k (already
+    //    sorted per host) — no global sort / zipWithIndex jobs. The
+    //    deterministic total crawl order is (epoch, host ASC, seq ASC).
+    val ranked = Scheduler.dequeueRanked(spark, allowedBudgeted, cfg.sched)
+    val scheduled = ranked.map(_._1).persist(StorageLevel.MEMORY_AND_DISK)
     phase("gate+dequeue(graph)")
-    // deterministic seq: distributed sort + zipWithIndex
-    val scheduledSeq: Dataset[ScheduledRow] = {
-      val sorted = scheduled.rdd.sortBy(c => (c.host, -c.priority, c.url))
-      spark.createDataset(sorted.zipWithIndex().map { case (c, i) =>
-        ScheduledRow(epoch, i, c.url, c.host, c.priority, c.retries)
-      }).toDF().observe(obsSched, count(lit(1)).as("n")).as[ScheduledRow]
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
-
-    phase("seq-zipWithIndex")
+    val scheduledSeq: Dataset[ScheduledRow] = ranked
+      .map { case (c, r) => ScheduledRow(epoch, r.toLong, c.url, c.host, c.priority, c.retries) }
+      .toDF().observe(obsSched, count(lit(1)).as("n")).as[ScheduledRow]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    phase("seq-rank")
     // 5. "fetch": join the prepared pages corpus (unique canonical url —
     //    see preparePages) on url
     val fetchJoin = scheduledSeq.toDF().join(pages.select("url", "html"), Seq("url"), "left")

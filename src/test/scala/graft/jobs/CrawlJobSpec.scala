@@ -169,6 +169,18 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sched = scheduledTable(store)
     assert(sched.nonEmpty)
     assert(sched.map(_._2).distinct.size == sched.size, "a url was scheduled twice")
+    // per-host seq must be dense 0..n-1 within each (epoch, host) batch
+    import spark.implicits._
+    val snap = store.latest().get
+    val schedDf = spark.read.parquet(snap.tables("scheduled"))
+    val bad = schedDf.groupBy("epoch", "host")
+      .agg(org.apache.spark.sql.functions.min("seq").as("mn"),
+           org.apache.spark.sql.functions.max("seq").as("mx"),
+           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(org.apache.spark.sql.functions.col("mn") =!= 0 ||
+              org.apache.spark.sql.functions.col("mx") =!= org.apache.spark.sql.functions.col("n") - 1)
+      .count()
+    assert(bad == 0, "per-host seq not dense")
   }
 
   test("determinism: two independent runs produce identical crawl order") {

@@ -40,6 +40,21 @@ object Rewriter {
   def charsetFor(name: String): Charset =
     Charset.forName(charsetAliases.getOrElse(name.toLowerCase, name))
 
+  /** Python cp1252 is STRICT: bytes 0x81 0x8D 0x8F 0x90 0x9D are undefined
+    * and raise; Java's windows-1252 maps them to C1 controls. Match Python
+    * by rejecting those code points around decode/encode. */
+  private def checkCp1252Strict(s: CharSequence, enc: String): Unit = {
+    if (enc == "windows-1252" || enc == "cp1252") {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i).toInt
+        if (c == 0x81 || c == 0x8D || c == 0x8F || c == 0x90 || c == 0x9D)
+          throw new java.nio.charset.UnmappableCharacterException(1)
+        i += 1
+      }
+    }
+  }
+
   /** Python str(resource): strict decode with the resource encoding;
     * TypeError for non-text resources. */
   def resourceText(r: WResource): String = {
@@ -49,10 +64,13 @@ object Rewriter {
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
-    dec.decode(ByteBuffer.wrap(r.data)).toString
+    val out = dec.decode(ByteBuffer.wrap(r.data)).toString
+    checkCp1252Strict(out, r.textEncoding.getOrElse("utf-8").toLowerCase)
+    out
   }
 
   def encodeText(s: String, encoding: String): Array[Byte] = {
+    checkCp1252Strict(s, encoding.toLowerCase)
     val cs = charsetFor(encoding)
     val enc = cs.newEncoder()
       .onMalformedInput(CodingErrorAction.REPORT)

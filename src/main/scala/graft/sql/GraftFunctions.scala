@@ -83,6 +83,16 @@ object GraftFunctions {
   def is_text_mime(m: Column): Column = col(IsTextMimeExpr(ex(m)))
   def extract_all(body: Column, url: Column): Column = col(ExtractAllExpr(ex(body), ex(url)))
 
+  /** SHA-256 host/path hashes (BASELINE.json F9) from built-ins — used for
+    * seen-set layout inspection and stable cross-system url identities. */
+  def url_host_hash(url: Column): Column =
+    org.apache.spark.sql.functions.sha2(url_host(url), 256)
+  def url_path_hash(url: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val rest = regexp_replace(url, "^[a-z]+://[^/]*", "")
+    sha2(when(rest === "", "/").otherwise(rest), 256)
+  }
+
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_html" -> (args => ExtractHtmlExpr(args(0), args(1))),
     "extract_text" -> (args => ExtractTextExpr(args(0), args(1))),

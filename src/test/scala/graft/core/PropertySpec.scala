@@ -112,6 +112,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("strict cp1252 parity: undefined bytes raise like CPython") {
+    import graft.model.WResource
+    val res = WResource(Array[Byte](0x41, 0x81.toByte, 0x42), "text/plain",
+      "https://h.x/t.txt", Some("windows-1252"), None)
+    intercept[Exception](Rewriter.resourceText(res))
+    intercept[Exception](Rewriter.encodeText("a" + 0x81.toChar + "b", "windows-1252"))
+    // defined cp1252 bytes still decode fine (smart quotes)
+    val ok = WResource(Array[Byte](0x93.toByte, 0x94.toByte), "text/plain",
+      "https://h.x/t2.txt", Some("windows-1252"), None)
+    assert(Rewriter.resourceText(ok) == "" + 0x201c.toChar + 0x201d.toChar)
+  }
+
   test("robots longest-match semantics") {
     import graft.frontier.RobotsRules
     val r = RobotsRules(Vector("/private", "/tmp"), Vector("/private/ok"), None)

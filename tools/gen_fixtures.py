@@ -351,6 +351,34 @@ def gen_rewriter_cases():
         '<script>var a = "<b>" && 1 < 2;</script>',
         '<!-- comment --><!bogus><?pi?>',
         '<div CLASS="Mixed" ID=Case>x</div>',
+        # tokenizer edge pins
+        '<p>&amp no-semicolon &copy more</p>',
+        '<p>text &amp</p>',                      # entity cut at EOF-ish
+        '<p>&# bail ; later</p>',                # bad charref with ; ahead
+        '<p>&#xZZ;</p>',
+        '<p>&;</p><p>& lone</p>',
+        '<p title="a&ampb">ent-in-attr-nosemi</p>',
+        '<p title="&quot;q&quot;">quoted</p>',
+        '<style>@media x { p { background: url( spaced.png ) } }</style>',
+        '<a href="">empty href</a>',
+        '<img src="">',
+        '<a href="#frag">frag only</a>',
+        '<a href="?q=1">query only</a>',
+        '<img srcset="">',
+        '<img srcset=" , ">',
+        '<p>unterminated <!-- comment',
+        '<p>unterminated <unclosed',
+        '<p>tag at end<',
+        '<script>until eof',
+        '<style>p { background: url(images/image.png) }',  # unterminated style
+        '<p data-x data-y=1 data-z>mixed attrs</p>',
+        "<p title='single quoted'>sq</p>",
+        '<br/><hr /><img src="images/image.png"/>',
+        '<P><DIV><SPAN CLASS=U>case</SPAN></DIV></P>',
+        '<a href="images/image.png#frag">sub with frag</a>',
+        '<img src="images/image.png?v=2">',
+        '<a href="//other.example.org/x">scheme-relative</a>',
+        '<img src="//example.com/images/image.png">',
     ]
     css_cases = [
         'p { background: url(images/image.png) }',

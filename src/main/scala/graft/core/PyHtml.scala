@@ -39,8 +39,18 @@ object PyHtml {
     * sorted so we can test decreasing prefixes of a candidate. */
   private val maxNameLen: Int = html5Entities.keysIterator.map(_.length).max
 
-  /** Python html.escape(s, quote=True). */
+  /** Python html.escape(s, quote=True). Fast path: most attr values —
+    * including multi-hundred-KB base64 data URIs — contain nothing to
+    * escape; scan first and return the original string unchanged. */
   def escape(s: String): String = {
+    var k = 0
+    val n = s.length
+    while (k < n) {
+      val c = s.charAt(k)
+      if (c == '&' || c == '<' || c == '>' || c == '"' || c == '\'') k = n + 1
+      else k += 1
+    }
+    if (k == n) return s
     val sb = new StringBuilder(s.length + 16)
     var i = 0
     while (i < s.length) {

@@ -215,6 +215,21 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("run() drains a tiny closed corpus and terminates") {
+    val store = freshStore()
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, 7L, 60L, 4).toDF())
+    val robots = SyntheticCorpus.robots(spark, 7L).toDF()
+    CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, 7L, 60L, 5), cfg)
+    val results = CrawlJob.run(spark, store, pages, robots, cfg, maxEpochs = 30)
+    assert(results.nonEmpty)
+    assert(results.last.frontierSize == 0, "frontier should drain in a closed world")
+    assert(results.map(_.scheduled).sum > 0)
+    // every corpus url reachable from seeds got scheduled at most once
+    val snap = store.latest().get
+    val seen = spark.read.parquet(snap.tables("seen").split(";").toIndexedSeq: _*)
+    assert(seen.count() == seen.select("url").distinct.count())
+  }
+
   test("robots gate blocks disallowed paths") {
     val (_, results) = runCrawl(3)
     assert(results.map(_.robotsBlocked).sum > 0, "expected some robots-blocked urls in the synthetic corpus")

@@ -105,6 +105,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 3).as("avg_chars"))
         .orderBy("source", "lang")),
 
+    "q_rollup" -> ((s, d) =>
+      s.read.parquet(t(d, "orders"))
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+    "q_semi_anti" -> ((s, d) => {
+      val c = s.read.parquet(t(d, "customer"))
+      val o = s.read.parquet(t(d, "orders"))
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      withOrders.agg(count(lit(1)).as("with_orders"))
+        .crossJoin(noOrders.agg(count(lit(1)).as("without_orders")))
+    }),
+    "q_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      s.read.parquet(t(d, "events"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id")).agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
+        .agg(sum(col("sessions")).as("total_sessions"), sum(col("events")).as("total_events"),
+             countDistinct(col("user_id")).as("users"))
+    }),
+
     // ---- dedup family --------------------------------------------------------
     "dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(s.read.parquet(t(d, "documents")), col("text"), "doc_id")
@@ -310,6 +336,29 @@ object SparkEntry {
     "q_docs_by_source" ->
       """SELECT source, lang, count(*) AS n, round(avg(n_chars), 3) AS avg_chars
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_semi_anti" ->
+      """SELECT
+         (SELECT count(*) FROM customer WHERE EXISTS
+            (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+         (SELECT count(*) FROM customer WHERE NOT EXISTS
+            (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders""",
+    "q_sessions" ->
+      """SELECT CAST(sum(sessions) AS BIGINT) AS total_sessions,
+                CAST(sum(events) AS BIGINT) AS total_events,
+                count(DISTINCT user_id) AS users
+         FROM (SELECT user_id, sum(new_session) AS sessions, count(*) AS events
+               FROM (SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+                     FROM (SELECT user_id, ts, event_id,
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+                           FROM events))
+               GROUP BY user_id)""",
     "dedup_exact" ->
       """SELECT count(*) AS dup_groups, CAST(sum(n) AS BIGINT) AS dup_rows, min(keeper) AS min_keeper
          FROM (SELECT count(*) AS n, min(doc_id) AS keeper FROM documents

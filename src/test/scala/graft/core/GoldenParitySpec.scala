@@ -38,7 +38,7 @@ class GoldenParitySpec extends AnyFunSuite {
 
   for (name <- Vector("wikipedia", "basic", "basic_xml", "xhtml", "sniff", "frames",
                       "names", "encoding", "csschain", "malformed", "attrentity",
-                      "nosubs", "fallback")) {
+                      "nosubs", "fallback", "deepframes")) {
 
     test(s"$name: to_html byte parity") {
       val golden = goldenDir.resolve(s"tohtml/$name.html")
@@ -87,6 +87,14 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(archive.subresources.size == 25)
     assert(archive.main.mimeType == "text/html")
     assert(archive.main.url == "https://en.wikipedia.org/wiki/Main_Page")
+  }
+
+  test("deepframes: depth-3 extraction recurses fully; row schema counts the overflow") {
+    val archive = WebArchiveOps.parse(archiveBytes("deepframes"))
+    assert(WebArchiveOps.resourceCount(archive) == 6)
+    val row = WebArchiveOps.toRow(archive)
+    assert(row.subframes.size == 1)
+    assert(row.subframes.head.deeperFrameCount == 1, "level-3 frame must be counted")
   }
 
   test("frames: depth-2 row unroll keeps subframes") {

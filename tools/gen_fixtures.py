@@ -135,6 +135,20 @@ ARCHIVES["frames"] = arch(
     [res(f"{H}/shared.png", "image/png", PNG)],
     [frame_inner, frame_inner2])
 
+# --- deepframes: 3-level frame nesting (tests full recursion in extraction;
+#     the Spark ROW schema is depth-2 + counts, but extract/to_html recurse) --
+deep3 = arch(
+    res(f"{H}/d3.html", "text/html", '<body>level3<img src="l3.png"></body>', "utf-8", frame="f3"),
+    [res(f"{H}/l3.png", "image/png", PNG + b"3")])
+deep2 = arch(
+    res(f"{H}/d2.html", "text/html", '<frame src="d3.html">', "utf-8", frame="f2"),
+    [res(f"{H}/l2.png", "image/png", PNG + b"2")],
+    [deep3])
+ARCHIVES["deepframes"] = arch(
+    res(f"{H}/d1.html", "text/html", '<frame src="d2.html"><img src="l1.png">', "utf-8"),
+    [res(f"{H}/l1.png", "image/png", PNG + b"1")],
+    [deep2])
+
 # --- names: local-path uniquification stress ---------------------------------
 ARCHIVES["names"] = arch(
     res(f"{H}/dir/index.html", "text/html",

@@ -65,6 +65,60 @@ object Multimodal {
     }
   }
 
+  final case class ResizedImage(media_id: Long, width: Int, height: Int,
+                                target_w: Int, target_h: Int, thumb_hash: Long)
+
+  /** STUB resize: a real implementation would decode + bilinear-resample.
+    * The plumbing (metadata-driven target size, batch iteration, null
+    * safety) is real; the pixel op is a deterministic hash of
+    * (bytes, target box). */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   maxDim: Int = 256): Dataset[ResizedImage] = {
+    implicit val enc = Encoders.product[ResizedImage]
+    media.filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select("media_id", "meta_width", "meta_height", "bytes")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = if (r.isNullAt(1)) maxDim else r.getInt(1)
+          val h = if (r.isNullAt(2)) maxDim else r.getInt(2)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (tw, th) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val bytes = if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3)
+          val hash = com.google.common.hash.Hashing.murmur3_128()
+            .newHasher().putBytes(bytes).putInt(tw).putInt(th).hash().asLong()
+          ResizedImage(id, w, h, tw, th, hash)
+        }
+      }
+  }
+
+  final case class FrameSample(media_id: Long, frame_ts_ms: Long, frame_hash: Long)
+
+  /** STUB frame sampling: emits `fps`-spaced frame timestamps across the
+    * clip duration with a deterministic per-frame content hash (a real
+    * impl would seek+decode). One row per sampled frame (flatMap shape —
+    * the UDTF analog). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   everyMs: Long = 5000L, maxFrames: Int = 16): Dataset[FrameSample] = {
+    implicit val enc = Encoders.product[FrameSample]
+    media.filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("media_id", "meta_duration_ms", "bytes")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val dur = if (r.isNullAt(1)) 0L else r.getLong(1)
+          val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          val n = math.min(maxFrames.toLong, if (everyMs <= 0) 0L else dur / everyMs + 1)
+          (0L until n).map { k =>
+            val ts = k * everyMs
+            val hash = com.google.common.hash.Hashing.murmur3_128()
+              .newHasher().putBytes(bytes).putLong(ts).hash().asLong()
+            FrameSample(id, ts, hash)
+          }
+        }
+      }
+  }
+
   /** Deterministic synthetic media table for tests/bench (binary payloads
     * derived from the row index — no external data). */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {

@@ -121,6 +121,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp1 != fpOther, "different docs should fingerprint differently")
   }
 
+  test("multimodal resize + frame sampling plumbing") {
+    val media = Multimodal.syntheticMedia(spark, 60L)
+    val resized = Multimodal.resizeImages(spark, media, maxDim = 128).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => math.max(r.target_w, r.target_h) <= 128))
+    assert(resized.forall(r => r.target_w >= 1 && r.target_h >= 1))
+    val frames = Multimodal.sampleFrames(spark, media, everyMs = 10000L).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_ts_ms % 10000L == 0))
+    val perVideo = frames.groupBy(_.media_id)
+    assert(perVideo.values.forall(fs => fs.map(_.frame_ts_ms).distinct.length == fs.length))
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(spark, media, everyMs = 10000L).collect()
+    assert(frames.map(f => (f.media_id, f.frame_ts_ms, f.frame_hash)).sortBy(x => (x._1, x._2))
+      .sameElements(again.map(f => (f.media_id, f.frame_ts_ms, f.frame_hash)).sortBy(x => (x._1, x._2))))
+  }
+
   test("multimodal feature plumbing: deterministic, null-safe") {
     val media = Multimodal.syntheticMedia(spark, 50L)
     val feats = Multimodal.extractFeatures(spark, media).collect()

@@ -39,9 +39,10 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def freshStore() = new ParquetSnapshotStore(
     Files.createTempDirectory("crawlstore").toString)
 
-  private def runCrawl(epochs: Int): (ParquetSnapshotStore, Vector[CrawlJob.EpochResult]) = {
+  private def runCrawl(epochs: Int, inputPartitions: Int = 8)
+      : (ParquetSnapshotStore, Vector[CrawlJob.EpochResult]) = {
     val store = freshStore()
-    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, N, 8).toDF())
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, N, inputPartitions).toDF())
     val robots = SyntheticCorpus.robots(spark, seed).toDF()
     CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, seed, N, 20), cfg)
     val results = (1 to epochs).map { _ =>
@@ -187,6 +188,22 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (s1, _) = runCrawl(3)
     val (s2, _) = runCrawl(3)
     assert(scheduledTable(s1) == scheduledTable(s2))
+  }
+
+  test("parallelism invariance: different input partitioning, identical crawl + extracted text") {
+    import spark.implicits._
+    val (s1, _) = runCrawl(2, inputPartitions = 3)
+    val (s2, _) = runCrawl(2, inputPartitions = 11)
+    assert(scheduledTable(s1) == scheduledTable(s2))
+    // byte-identical extracted text per url across layouts
+    def extractedMap(st: ParquetSnapshotStore): Map[String, String] = {
+      val snap = st.latest().get
+      spark.read.parquet(snap.tables("extracted"))
+        .select("url", "extracted_html").as[(String, String)].collect().toMap
+    }
+    val (e1, e2) = (extractedMap(s1), extractedMap(s2))
+    assert(e1.keySet == e2.keySet)
+    assert(e1.forall { case (u, h) => e2(u) == h }, "extracted html differs across partitionings")
   }
 
   test("exact resume: run 2 epochs, resume for 1 == straight 3-epoch run") {

@@ -15,6 +15,9 @@ object Bench {
     // oversubscribes (see BENCH.md); 16 is the measured throughput peak
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val crawlPages = sys.env.getOrElse("SPARK_GRAFT_CRAWL_PAGES", "20000").toLong
+    // realistic host diversity for the frontier bench (Zipf skew preserved);
+    // tests keep the compact 101-host corpus
+    val crawlHosts = sys.env.getOrElse("SPARK_GRAFT_CRAWL_HOSTS", "1200").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,11 +62,12 @@ object Bench {
         sched = Scheduler.Config(perHostBudget = 256, saltFactor = 8),
         shufflePartitions = cpus)
       val pages = CrawlJob.preparePages(
-        graft.data.SyntheticCorpus.pages(spark, 42L, crawlPages, cpus).toDF())
+        graft.data.SyntheticCorpus.pages(spark, 42L, crawlPages, cpus, crawlHosts).toDF())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pages.count()
-      val robots = graft.data.SyntheticCorpus.robots(spark, 42L).toDF()
-      CrawlJob.init(spark, store, graft.data.SyntheticCorpus.seeds(spark, 42L, crawlPages, 400), cfg)
+      val robots = graft.data.SyntheticCorpus.robots(spark, 42L, crawlHosts).toDF()
+      CrawlJob.init(spark, store,
+        graft.data.SyntheticCorpus.seeds(spark, 42L, crawlPages, 2000, crawlHosts), cfg)
       val rs = (1 to 3).map(_ => CrawlJob.runEpoch(spark, store, pages, robots, cfg))
       rs.map(_.fetched).sum
     }

@@ -32,26 +32,26 @@ object SyntheticCorpus {
 
   val NumHosts = 101
   /** Zipf(1.1)-ish host pick: hot head by construction. */
-  private def hostOf(seed: Long, i: Long): String = {
+  private def hostOf(seed: Long, i: Long, hosts: Int): String = {
     val u = rand01(seed, i, 0x481EADL)
     // inverse-power CDF approximation: rank ~ u^(-1/(s-1)) clamped
-    val rank = math.min(NumHosts - 1, math.max(0, (math.pow(u, 2.2) * NumHosts).toInt))
+    val rank = math.min(hosts - 1, math.max(0, (math.pow(u, 2.2) * hosts).toInt))
     s"host$rank.example"
   }
 
-  def urlOf(seed: Long, i: Long): String = {
-    val host = hostOf(seed, i)
+  def urlOf(seed: Long, i: Long, hosts: Int = NumHosts): String = {
+    val host = hostOf(seed, i, hosts)
     val depth = 1 + (splitmix64(seed ^ i ^ 0xD1L).toInt & 3)
     val segs = (0 until depth).map(d => s"p${(splitmix64(seed ^ i ^ (d + 17)).toInt & 0xfff).toHexString}")
     s"https://$host/${segs.mkString("/")}.html"
   }
 
   /** Page HTML: 6-14 outlinks into the same pool + rewrite-rule variety. */
-  def htmlOf(seed: Long, i: Long, poolSize: Long): String = {
+  def htmlOf(seed: Long, i: Long, poolSize: Long, hosts: Int = NumHosts): String = {
     val nLinks = 6 + (splitmix64(seed ^ i ^ 0x11L).toInt & 7)
     val links = (0 until nLinks).map { k =>
       val j = (splitmix64(seed ^ i ^ (0x1000L + k)) >>> 1) % poolSize
-      s"""<a href="${urlOf(seed, j)}">link $k</a>"""
+      s"""<a href="${urlOf(seed, j, hosts)}">link $k</a>"""
     }
     val filler = (0 until 8).map { k =>
       val w = splitmix64(seed ^ i ^ (0x2000L + k)) >>> 1
@@ -79,20 +79,20 @@ ${links.mkString("\n")}
     * captures). Distributed generation — one task per range chunk, no
     * driver materialization. */
   def pages(spark: SparkSession, seed: Long, n: Long,
-            partitions: Int = 32): Dataset[Page] = {
+            partitions: Int = 32, hosts: Int = NumHosts): Dataset[Page] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).as[Long].map { i =>
-      val url = urlOf(seed, i)
-      val html = htmlOf(seed, i, n)
+      val url = urlOf(seed, i, hosts)
+      val html = htmlOf(seed, i, n, hosts)
       Page(url, new Timestamp(tsOf(seed, i)), html.getBytes("UTF-8"), null,
         if (i % 7 == 0) "de" else "en")
     }
   }
 
   /** Robots: a third of hosts disallow a path prefix; a few rate-limit. */
-  def robots(spark: SparkSession, seed: Long): Dataset[RobotsRow] = {
+  def robots(spark: SparkSession, seed: Long, hosts: Int = NumHosts): Dataset[RobotsRow] = {
     import spark.implicits._
-    val rows = (0 until NumHosts).flatMap { r =>
+    val rows = (0 until hosts).flatMap { r =>
       if (r % 3 == 0)
         Some(RobotsRow(s"host$r.example", Seq(s"/p${(r % 10).toHexString}"), Seq.empty,
           if (r % 9 == 0) Some(2.0) else None))
@@ -102,11 +102,12 @@ ${links.mkString("\n")}
   }
 
   /** Seed list: `k` urls from the pool with deterministic priorities. */
-  def seeds(spark: SparkSession, seed: Long, n: Long, k: Int): Dataset[(String, Double)] = {
+  def seeds(spark: SparkSession, seed: Long, n: Long, k: Int,
+            hosts: Int = NumHosts): Dataset[(String, Double)] = {
     import spark.implicits._
     spark.range(0, k.toLong, 1, math.min(k, 8)).as[Long].map { s =>
       val j = (splitmix64(seed ^ (0x5EEDL + s)) >>> 1) % n
-      (urlOf(seed, j), 1.0 - (s.toDouble / (2.0 * k)))
+      (urlOf(seed, j, hosts), 1.0 - (s.toDouble / (2.0 * k)))
     }
   }
 }

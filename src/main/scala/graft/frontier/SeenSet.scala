@@ -101,6 +101,54 @@ object SeenSet {
     (cached.filter(!_._2).map(_._1), cached.filter(_._2).map(_._1))
   }
 
+  /** Deterministic per-url reducer shared with the oracle: priority DESC,
+    * retries DESC, discoveredEpoch ASC (total tie-breaks: replay-exact). */
+  def reduceCandidates(a: Candidate, b: Candidate): Candidate =
+    if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
+    else if (a.retries != b.retries) { if (a.retries > b.retries) a else b }
+    else if (a.discoveredEpoch <= b.discoveredEpoch) a else b
+
+  /** FUSED in-batch URL dedup + bloom prefilter + partition-pruned exact
+    * anti-join: since the url-dedup key and the bloom bucket are both
+    * functions of url, one shuffle by bucket serves both (a separate
+    * groupByKey(url) pass would shuffle the same rows twice). Retried
+    * candidates bypass the seen check (scheduled once already, fetch
+    * missed). Returns the deduplicated not-seen candidates. */
+  def dedupAndFilterNew(spark: SparkSession, candidates: Dataset[Candidate],
+                        seen: DataFrame, blooms: Dataset[BucketBloom],
+                        cfg: Config): Dataset[Candidate] = {
+    import spark.implicits._
+    val marked: Dataset[(Candidate, Boolean)] =
+      candidates.groupByKey(c => bucketOfUrl(c.url, cfg.numBuckets))
+        .cogroup(blooms.groupByKey(_.bucket)) { (bucket, cs, bs) =>
+          val best = new java.util.HashMap[String, Candidate]()
+          cs.foreach { c =>
+            val prev = best.get(c.url)
+            best.put(c.url, if (prev == null) c else reduceCandidates(prev, c))
+          }
+          val bf = bs.toSeq.headOption.filter(_.bytes.nonEmpty).map(b => deserialize(b.bytes))
+          val it = best.values().iterator()
+          new Iterator[(Candidate, Boolean)] {
+            def hasNext = it.hasNext
+            def next() = {
+              val c = it.next()
+              val maybe = c.retries == 0 && bf.exists(_.mightContainString(c.url))
+              (c, maybe)
+            }
+          }
+        }
+    val cached = marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = cached.filter(!_._2).map(_._1)
+    val maybe = cached.filter(_._2).map(_._1)
+    val hotBuckets = maybe.map(c => bucketOfUrl(c.url, cfg.numBuckets)).distinct().collect()
+    val prunedSeen =
+      if (hotBuckets.length < cfg.numBuckets)
+        seen.filter(col("bucket").isin(hotBuckets.map(Integer.valueOf).toIndexedSeq: _*))
+      else seen
+    val survived = maybe.join(prunedSeen.select(col("url")), Seq("url"), "left_anti").as[Candidate]
+    definitelyNew.unionByName(survived)
+  }
+
   /** candidates EXCEPT seen: bloom prefilter + partition-pruned anti-join.
     * `seen` must carry (url, bucket) columns, stored partitioned by bucket. */
   def filterNew(spark: SparkSession, candidates: Dataset[Candidate],

@@ -112,21 +112,10 @@ object CrawlJob {
     val seen = store.readTable(spark, snap, "seen")
     val blooms = store.readTable(spark, snap, "blooms").as[SeenSet.BucketBloom]
 
-    // 1. in-batch URL dedup: keep the best (priority DESC, url-stable)
-    val dedupInBatch = frontier.groupByKey(_.url).reduceGroups { (a, b) =>
-      // fully deterministic tie-breaks: resume/replay must be exact
-      if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
-      else if (a.retries != b.retries) { if (a.retries > b.retries) a else b }
-      else if (a.discoveredEpoch <= b.discoveredEpoch) a else b
-    }.map(_._2)
-
-    // 2. seen-set dedup (bloom prefilter + partition-pruned anti-join);
-    //    retried candidates bypass the seen check (they are already seen by
-    //    design: scheduled once, fetch missed)
-    val fresh = dedupInBatch.filter(_.retries == 0)
-    val retriesIn = dedupInBatch.filter(_.retries > 0)
-    val unseen = SeenSet.filterNew(spark, fresh, seen, blooms, cfg.seen)
-      .unionByName(retriesIn)
+    // 1+2. FUSED in-batch URL dedup + seen-set filter: one shuffle by
+    //    bucket serves both (url-dedup key and bloom bucket are both
+    //    functions of url); retries bypass the seen check inside
+    val unseen = SeenSet.dedupAndFilterNew(spark, frontier, seen, blooms, cfg.seen)
       .toDF().observe(obsUnseen, count(lit(1)).as("n")).as[Candidate]
       .persist(StorageLevel.MEMORY_AND_DISK)
 

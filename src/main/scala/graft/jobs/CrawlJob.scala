@@ -196,21 +196,18 @@ object CrawlJob {
       .select(col("curl"), col("priority"))
       .as[(String, Double)]
       .map { case (u, p) => Candidate(u, PyUrl.hostOf(u), p * cfg.linkPriorityDecay, epoch.toInt, 0) }
-    // self-dedup discovered (keep max priority), drop anything scheduled now
-    val discoveredDedup = discovered.groupByKey(_.url).reduceGroups { (a, b) =>
-      if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
-      else a // identical url+epoch+priority: fields all equal
-    }.map(_._2)
-      .join(scheduledSeq.select("url"), Seq("url"), "left_anti").as[Candidate]
       .toDF().observe(obsDisc, count(lit(1)).as("n")).as[Candidate]
 
-    // 7. next state
-    val residual = Scheduler.residual(spark, allowed, scheduled)
-    val nextFrontier = residual.unionByName(retryCands)
-      .toDF().observe(obsNext,
-        count(lit(1)).as("n"),
-        sum(when(col("retries") > 0, 1L).otherwise(0L)).as("retriedOut")).as[Candidate]
-      .unionByName(discoveredDedup)
+    // 7. next state. NO dedup / anti-joins here: next epoch's FUSED
+    // bucket pass dedups raw discovered candidates (associative reducer ->
+    // same winner as incremental dedup) and the seen filter drops anything
+    // scheduled this epoch (scheduled urls enter the seen delta; retried
+    // ones re-enter with retries+1 and win the reducer tie-break). Saves
+    // two joins and a shuffle per epoch; frontier carries raw links for
+    // exactly one epoch.
+    val nextFrontier = allowed.unionByName(retryCands)
+      .toDF().observe(obsNext, count(lit(1)).as("n")).as[Candidate]
+      .unionByName(discovered)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val newlySeen = scheduledSeq.filter(_.retries == 0).map(_.url)

@@ -114,6 +114,13 @@ class SqlExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4))
   }
 
+  test("GraftExtensions wires without error (full injection drive-tested via spark-shell --conf spark.sql.extensions)") {
+    // extensions only apply at session CREATION; the suite session already
+    // exists in this JVM, so end-to-end injection is verified at the
+    // deployment surface (spark-shell) — here we check the wiring code
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("expressions reject wrong input types at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT extract_html(1, 2)").collect()

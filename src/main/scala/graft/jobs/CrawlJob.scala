@@ -19,9 +19,9 @@ import graft.core.PyUrl
   * checkpointed through [[FrontierStore]] snapshots; a run resumes exactly
   * from the last committed manifest.
   *
-  * Determinism: scheduled order is the total order (host ASC, priority
-  * DESC, url ASC) per epoch; seq numbers assigned by distributed
-  * sort+zipWithIndex (no single-partition windows); no wall-clock anywhere.
+  * Determinism: the crawl order is (epoch, host ASC, seq ASC) where seq is
+  * the within-host rank attached by the final per-host top-k (no global
+  * sort, no single-partition windows); no wall-clock anywhere.
   */
 object CrawlJob {
 

@@ -100,6 +100,12 @@ object Rewriter {
 
     def getLocalPath(url: String): String =
       localPaths.getOrElse(url, throw new WebArchiveError("no local path for the specified URL"))
+
+    /** Per-archive data-URI memo (SURVEY.md §3.3): to_data_uri is a pure
+      * function of (resource, archive), and a subresource referenced N
+      * times would otherwise re-run base64/CSS-recursion N times. Ctx
+      * instances are per-operation (thread-confined). */
+    private[core] val dataUriMemo = new java.util.HashMap[String, String]()
   }
 
   /** webarchive.py:347-361 */
@@ -135,6 +141,9 @@ object Rewriter {
   /** webresource.py:107-133 */
   def toDataUri(ctx: ArchiveCtx, res: WResource, depth: Int): String = {
     if (depth > MaxDepth) throw new IllegalStateException("data-URI recursion too deep")
+    val memoKey = res.url
+    val memod = ctx.dataUriMemo.get(memoKey)
+    if (memod != null) return memod
     val data: Array[Byte] =
       if (res.url == ctx.archive.main.url) {
         encodeText(toHtmlInner(ctx, depth), res.textEncoding.getOrElse("utf-8"))
@@ -143,7 +152,9 @@ object Rewriter {
         processCssResource(ctx, res, sb, null, depth)
         encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
       } else res.data
-    "data:" + res.mimeType + ";base64," + java.util.Base64.getEncoder.encodeToString(data)
+    val uri = "data:" + res.mimeType + ";base64," + java.util.Base64.getEncoder.encodeToString(data)
+    ctx.dataUriMemo.put(memoKey, uri)
+    uri
   }
 
   // --- CSS (util.py:236-276) --------------------------------------------------

@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single JSON stdout line; sbt's default
+// LoggedOutput wraps forked stdout in "[info] " which breaks that parse
+// (BENCH_r01.json recorded "parsed": null). StdoutOutput passes the forked
+// process's stdout through verbatim; showSuccess drops the trailing
+// "[success] Total time" line so the JSON stays the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +32,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Djava.awt.headless=true", // ImageIO decode in tasks, no display
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -111,12 +111,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
     "q_semi_anti" -> ((s, d) => {
+      // semi+anti in ONE pass: left join against distinct order keys, then
+      // a single aggregate — no second join and no crossJoin of the two
+      // 1-row aggregates (that plan carried a BroadcastNestedLoopJoin)
       val c = s.read.parquet(t(d, "customer"))
       val o = s.read.parquet(t(d, "orders"))
-      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      withOrders.agg(count(lit(1)).as("with_orders"))
-        .crossJoin(noOrders.agg(count(lit(1)).as("without_orders")))
+      c.select("c_custkey")
+        .join(o.select(col("o_custkey").as("c_custkey")).distinct()
+                .withColumn("__has", lit(1)), Seq("c_custkey"), "left")
+        .agg(sum(when(col("__has").isNotNull, 1L).otherwise(0L)).as("with_orders"),
+             sum(when(col("__has").isNull, 1L).otherwise(0L)).as("without_orders"))
     }),
     "q_sessions" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -153,10 +157,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("pairs"),
              coalesce(round(avg(col("hamming")), 4), lit(0.0)).as("avg_hamming"))),
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = s.read.parquet(t(d, "documents")).filter(col("doc_id") < 200)
-      val pairs = docs.select(col("doc_id").as("id_a"))
-        .crossJoin(docs.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b")).filter(col("id_b") - col("id_a") <= 3)
+      // pair generation via banded MinHash LSH (the operator this verifier
+      // was designed for) — no cartesian/BroadcastNestedLoopJoin anywhere;
+      // low-threshold banding (16 bands x 2 rows) casts a wide candidate net
+      val docs = s.read.parquet(t(d, "documents"))
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 2)
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
         .agg(count(lit(1)).as("pairs"), round(sum(col("jaccard")), 4).as("sum_jaccard"))
     }),
@@ -277,13 +283,15 @@ object SparkEntry {
         .orderBy("mime")
     }),
 
-    // ---- multimodal plumbing ----------------------------------------------------
+    // ---- multimodal: real image decode (ImageIO), stub audio/video ---------------
     "media_features" -> ((s, d) => {
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 300L))
         .toDF()
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("bytes"),
-             countDistinct(col("content_hash")).as("distinct_hashes"))
+             countDistinct(col("content_hash")).as("distinct_hashes"),
+             sum(when(col("ok"), 1L).otherwise(0L)).as("decoded_ok"),
+             sum(col("width")).as("width_sum"), sum(col("height")).as("height_sum"))
         .orderBy("kind")
     }))
 

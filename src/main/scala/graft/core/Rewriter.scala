@@ -291,7 +291,7 @@ object Rewriter {
         val written = output.length
         output.setLength(start)
         var i = start
-        while (i < written) { output.append(' '); i += 1 }
+        while (i < written) { output.append('\u0000'); i += 1 }
         output.append(text)
     }
   }

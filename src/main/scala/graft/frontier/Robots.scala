@@ -23,6 +23,28 @@ object RobotsRules {
 
   val allowAll: RobotsRules = RobotsRules(Vector.empty, Vector.empty, None)
 
+  /** Allocation-free gate for the per-row crawl UDF: RFC 9309 longest-match
+    * directly over the pre-parsed rule arrays carried by the broadcast
+    * robots table — no per-row RobotsRules wrapping, no Vector copies. */
+  def allowedPath(disallow: Seq[String], allow: Seq[String], path: String): Boolean = {
+    val p = if (path.isEmpty) "/" else path
+    var d = -1
+    var i = 0
+    while (i < disallow.length) {
+      val r = disallow(i)
+      if (r.nonEmpty && r.length > d && p.startsWith(r)) d = r.length
+      i += 1
+    }
+    var a = -1
+    i = 0
+    while (i < allow.length) {
+      val r = allow(i)
+      if (r.nonEmpty && r.length > a && p.startsWith(r)) a = r.length
+      i += 1
+    }
+    a >= d
+  }
+
   /** Parse a robots.txt body for a given user agent (default "*").
     * Group selection: rules under the most specific matching User-agent
     * (exact match preferred over "*"); multiple UA lines share a group. */

@@ -29,7 +29,8 @@ object SeenSet {
 
   final case class Config(numBuckets: Int = 64,
                           expectedPerBucket: Long = 1L << 20,
-                          bloomFpp: Double = 0.01)
+                          bloomFpp: Double = 0.01,
+                          maxBloomSegments: Int = 12)
 
   /** (bucket, bloomBytes) rows — the persisted form. */
   final case class BucketBloom(bucket: Int, bytes: Array[Byte])
@@ -62,7 +63,32 @@ object SeenSet {
       }
   }
 
-  /** Merge newly seen urls into existing blooms (missing buckets created). */
+  /** Per-bucket blooms for ONE epoch's newly-seen delta, each filter sized
+    * to its ACTUAL insert count. BloomFilter allocates bits for the
+    * expected capacity up front, so sizing deltas at `expectedPerBucket`
+    * would make every epoch's delta write as large as a full rewrite
+    * (round 1 rewrote the whole ~12 GiB bucket table per epoch at the
+    * target sizing). Delta segments append via the snapshot's `;`-segment
+    * list; the read side unions them (a url is maybe-seen if ANY segment
+    * filter contains it — no false negatives ever). Each extra segment
+    * adds its own fpp to the union check, which is why [[Config
+    * .maxBloomSegments]] bounds the list via major compaction (rebuild
+    * full-capacity filters from the bucket-partitioned seen table,
+    * amortized to 1/maxBloomSegments of a full pass per epoch). */
+  def buildDeltaBlooms(spark: SparkSession, urls: Dataset[String], cfg: Config): Dataset[BucketBloom] = {
+    import spark.implicits._
+    urls.groupByKey(u => bucketOfUrl(u, cfg.numBuckets))
+      .mapGroups { (bucket, it) =>
+        val buf = it.toArray
+        val bf = BloomFilter.create(math.max(buf.length.toLong, 64L), cfg.bloomFpp)
+        buf.foreach(bf.putString)
+        BucketBloom(bucket, serialize(bf))
+      }
+  }
+
+  /** Merge newly seen urls into existing blooms (missing buckets created).
+    * Requires equal-capacity filters (same cfg) — used for full-table
+    * merges; the epoch path appends [[buildDeltaBlooms]] segments instead. */
   def mergeBlooms(spark: SparkSession, old: Dataset[BucketBloom],
                   newUrls: Dataset[String], cfg: Config): Dataset[BucketBloom] = {
     import spark.implicits._
@@ -91,11 +117,11 @@ object SeenSet {
     val marked: Dataset[(Candidate, Boolean)] =
       candidates.groupByKey(c => bucketOfUrl(c.url, cfg.numBuckets))
         .cogroup(blooms.groupByKey(_.bucket)) { (bucket, cs, bs) =>
-          val bf = bs.toSeq.headOption.filter(_.bytes.nonEmpty).map(b => deserialize(b.bytes))
-          bf match {
-            case None    => cs.map(c => (c, false)) // empty bucket: all new
-            case Some(f) => cs.map(c => (c, f.mightContainString(c.url)))
-          }
+          // a bucket may carry several delta-segment filters (LSM shape);
+          // maybe-seen = contained in ANY segment (no false negatives)
+          val fs = bs.filter(_.bytes.nonEmpty).map(b => deserialize(b.bytes)).toArray
+          if (fs.isEmpty) cs.map(c => (c, false)) // empty bucket: all new
+          else cs.map(c => (c, fs.exists(_.mightContainString(c.url))))
         }
     val cached = marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (cached.filter(!_._2).map(_._1), cached.filter(_._2).map(_._1))
@@ -126,13 +152,20 @@ object SeenSet {
             val prev = best.get(c.url)
             best.put(c.url, if (prev == null) c else reduceCandidates(prev, c))
           }
-          val bf = bs.toSeq.headOption.filter(_.bytes.nonEmpty).map(b => deserialize(b.bytes))
+          // delta segments: maybe-seen = contained in ANY segment filter
+          val fs = bs.filter(_.bytes.nonEmpty).map(b => deserialize(b.bytes)).toArray
           val it = best.values().iterator()
           new Iterator[(Candidate, Boolean)] {
             def hasNext = it.hasNext
             def next() = {
               val c = it.next()
-              val maybe = c.retries == 0 && bf.exists(_.mightContainString(c.url))
+              var maybe = false
+              if (c.retries == 0) {
+                var i = 0
+                while (!maybe && i < fs.length) {
+                  maybe = fs(i).mightContainString(c.url); i += 1
+                }
+              }
               (c, maybe)
             }
           }

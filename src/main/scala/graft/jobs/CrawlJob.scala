@@ -47,17 +47,28 @@ object CrawlJob {
                                 priority: Double, retries: Int)
 
   /** One-time pages-table preparation: canonicalize urls and keep exactly
-    * one capture per url — max (warc_ts, base64(html)) wins, a total order,
+    * one capture per url — max (warc_ts, xxhash64(html)) wins via max_by,
     * so re-runs and different parallelism levels pick the same capture.
-    * Run ONCE before the epoch loop (at 100 TB this dedup is a full
-    * shuffle you must not pay per epoch); runEpoch requires unique urls. */
+    * The tie-break key is an 8-byte hash, NOT the body: partial (map-side)
+    * aggregation keeps at most one html candidate per url per partition, so
+    * shuffle bytes ~= corpus size instead of 1.33x all bytes through a
+    * base64'd struct-max (the round-1 shape — at 100 TB that was ~33 TB of
+    * extra shuffle). A 64-bit collision between two same-ts captures with
+    * different bodies would make the winner ambiguous; at 2^-64 per pair
+    * that is accepted and documented. Run ONCE before the epoch loop;
+    * runEpoch requires unique urls. */
   def preparePages(pages: DataFrame): DataFrame = {
     val p = pages.withColumn("__curl", url_canonicalize(col("url")))
       .filter(col("__curl").isNotNull)
     p.groupBy(col("__curl").as("url"))
-      .agg(max(struct(col("warc_ts"), base64(col("html")).as("b64"))).as("r"))
-      .select(col("url"), unbase64(col("r.b64")).as("html"))
+      .agg(max_by(col("html"), struct(col("warc_ts"), xxhash64(col("html")))).as("html"))
   }
+
+  /** The capture tie-break hash — matches Spark's `xxhash64(html)` (seed
+    * 42) so single-node oracles can replicate the [[preparePages]] winner. */
+  def captureHash(html: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, html.length, 42L)
 
   /** Initialize crawl state from a seed list. Epoch -1 snapshot. */
   def init(spark: SparkSession, store: FrontierStore,
@@ -126,6 +137,8 @@ object CrawlJob {
       coalesce(col("allow"), array()).as("allow"),
       col("crawl_delay"))
     val joined = unseen.toDF().join(broadcast(rulesDf), Seq("host"), "left")
+    // rules are pre-parsed arrays on the broadcast side; the UDF only does
+    // path slicing + longest-match — no per-row rule object construction
     val allowedCol = udf { (url: String, dis: Seq[String], alw: Seq[String]) =>
       if (dis == null) true
       else {
@@ -135,7 +148,8 @@ object CrawlJob {
           val s = rest.indexOf('/')
           if (s < 0) "/" else rest.substring(s)
         }
-        graft.frontier.RobotsRules(dis.toVector, Option(alw).map(_.toVector).getOrElse(Vector.empty), None).allowed(path)
+        graft.frontier.RobotsRules.allowedPath(dis,
+          if (alw == null) Nil else alw, path)
       }
     }
     val gated = joined.withColumn("__allowed", allowedCol(col("url"), col("disallow"), col("allow")))
@@ -198,14 +212,21 @@ object CrawlJob {
       .map { case (u, p) => Candidate(u, PyUrl.hostOf(u), p * cfg.linkPriorityDecay, epoch.toInt, 0) }
       .toDF().observe(obsDisc, count(lit(1)).as("n")).as[Candidate]
 
-    // 7. next state. NO dedup / anti-joins here: next epoch's FUSED
-    // bucket pass dedups raw discovered candidates (associative reducer ->
-    // same winner as incremental dedup) and the seen filter drops anything
-    // scheduled this epoch (scheduled urls enter the seen delta; retried
-    // ones re-enter with retries+1 and win the reducer tie-break). Saves
-    // two joins and a shuffle per epoch; frontier carries raw links for
-    // exactly one epoch.
-    val nextFrontier = allowed.unionByName(retryCands)
+    // 7. next state. The only join here is a broadcast anti-join that
+    // removes THIS epoch's scheduled urls from the carried-over frontier
+    // (scheduled is small: <= hosts * budget). It cannot be skipped: the
+    // seen filter only catches retries==0 candidates, so a fetch-missed
+    // url (retries>0 bypasses seen by design) carried forward via
+    // `allowed` would be rescheduled every epoch forever and the frontier
+    // would never drain (ADVICE r1, high). Retried urls re-enter ONLY via
+    // retryCands with retries+1, bounding total schedules of any url at
+    // 1 + maxRetries. No dedup here: next epoch's FUSED bucket pass dedups
+    // raw discovered candidates (associative reducer -> same winner as
+    // incremental dedup); frontier carries raw links for exactly one epoch.
+    val residual = allowed.toDF()
+      .join(broadcast(scheduledSeq.select("url")), Seq("url"), "left_anti")
+      .select("url", "host", "priority", "discoveredEpoch", "retries").as[Candidate]
+    val nextFrontier = residual.unionByName(retryCands)
       .toDF().observe(obsNext, count(lit(1)).as("n")).as[Candidate]
       .unionByName(discovered)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -216,7 +237,6 @@ object CrawlJob {
     // not an option)
     val seenDelta = newlySeen
       .map(u => (u, SeenSet.bucketOfUrl(u, cfg.seen.numBuckets))).toDF("url", "bucket")
-    val nextBlooms = SeenSet.mergeBlooms(spark, blooms, newlySeen, cfg.seen)
 
     // 8. lineage: per-partition accounting of the extraction stage
     val lineage: Dataset[LineageRow] = {
@@ -244,18 +264,39 @@ object CrawlJob {
       phase(s"write-$name")
       name -> p
     }
+    val seenPaths = {
+      val deltaPath = store.writeTable("seen", epoch, seenDelta)
+      phase("write-seen-delta")
+      snap.tables("seen") + ";" + deltaPath
+    }
+    // blooms are ALSO append-only delta segments (each sized to its actual
+    // insert count); every maxBloomSegments epochs a major compaction
+    // rebuilds full-capacity filters from the seen table — bounding both
+    // the per-bucket segment-union fpp and the read fan-in, at an
+    // amortized 1/maxBloomSegments of a full seen pass per epoch.
+    val bloomsEntry: (String, String) = {
+      val oldSegs = snap.tables("blooms")
+      if (oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments) {
+        val allSeen = spark.read.parquet(seenPaths.split(";").toIndexedSeq: _*)
+        val full = SeenSet.buildBlooms(spark, allSeen.select("url").as[String], cfg.seen)
+        val p = store.writeTable("blooms", epoch, full.toDF())
+        phase("write-blooms-compact")
+        "blooms" -> p
+      } else {
+        val delta = SeenSet.buildDeltaBlooms(spark, newlySeen, cfg.seen)
+        val p = store.writeTable("blooms", epoch, delta.toDF())
+        phase("write-blooms-delta")
+        "blooms" -> (oldSegs + ";" + p)
+      }
+    }
     val tables = Map(
       timedWrite("extracted",
         extracted.select("epoch", "seq", "url", "extracted_html", "text")),
       // coalesce: the union graph otherwise carries every upstream
       // partition into the write (160 tiny files per epoch at local[32])
       timedWrite("frontier", nextFrontier.toDF().coalesce(cfg.shufflePartitions)),
-      {
-        val deltaPath = store.writeTable("seen", epoch, seenDelta)
-        phase("write-seen-delta")
-        "seen" -> (snap.tables("seen") + ";" + deltaPath)
-      },
-      timedWrite("blooms", nextBlooms.toDF()),
+      "seen" -> seenPaths,
+      bloomsEntry,
       timedWrite("scheduled", scheduledSeq.toDF()),
       timedWrite("lineage", lineage.toDF()))
 

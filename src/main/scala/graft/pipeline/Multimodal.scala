@@ -4,14 +4,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is a clearly-marked STUB (no image/audio libraries exist
-  * in this container): `decodeStub` produces deterministic fake features
-  * from the bytes. Everything around it — schema, batching, partitioning,
-  * null handling — is the real Spark plumbing a codec-backed UDF would use,
-  * so swapping in a real decoder is a one-function change.
+  * IMAGES are decoded for real: `javax.imageio` ships with the JDK, so
+  * PNG/JPEG decode, true dimensions, grid features and bilinear resize all
+  * run on actual pixels. AUDIO/VIDEO decode remains a clearly-marked STUB
+  * (no codec libraries exist in this container): deterministic fake
+  * features from the bytes. The Spark plumbing — schema, batching,
+  * partitioning, null handling — is identical for both, so swapping a real
+  * audio/video codec in is a one-function change.
   */
 object Multimodal {
 
@@ -26,11 +33,52 @@ object Multimodal {
 
   final case class MediaFeatures(
       media_id: Long, kind: String, ok: Boolean,
-      byte_len: Long, content_hash: Long, features: Array[Float])
+      byte_len: Long, content_hash: Long, width: Int, height: Int,
+      features: Array[Float])
 
-  /** STUB decode: a real implementation would decode/resample here
-    * (e.g. JPEG -> pixels -> resize -> embed). Deterministic fake:
-    * 16 features derived from a rolling hash of the bytes. */
+  /** Real image decode (JDK ImageIO): PNG/JPEG/GIF/BMP in, BufferedImage
+    * out; None for undecodable bytes. */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+  /** 16 real features from decoded pixels: mean luminance over a 4x4 grid
+    * (a fixed-size content descriptor independent of image dimensions). */
+  def gridLuminance(img: BufferedImage): Array[Float] = {
+    val out = new Array[Float](16)
+    val w = img.getWidth
+    val h = img.getHeight
+    var gy = 0
+    while (gy < 4) {
+      var gx = 0
+      while (gx < 4) {
+        val x0 = gx * w / 4; val x1 = math.max(x0 + 1, (gx + 1) * w / 4)
+        val y0 = gy * h / 4; val y1 = math.max(y0 + 1, (gy + 1) * h / 4)
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * 4 + gx) = if (n == 0) 0.0f else (sum / (255.0 * n)).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** STUB decode for audio/video: a real implementation would decode /
+    * resample here. Deterministic fake: 16 features from a rolling hash. */
   private def decodeStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(16)(0.0f)
     val out = new Array[Float](16)
@@ -45,22 +93,32 @@ object Multimodal {
   }
 
   /** Feature extraction over a media table: mapPartitions (batch-at-a-time,
-    * the Scala analog of mapInPandas batch processing) — one decoder
-    * instantiation per partition, not per row. */
+    * the Scala analog of mapInPandas batch processing) — decoder state is
+    * amortized across the batch, not re-created per row. Images decode for
+    * real; audio/video use the labeled stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "bytes").mapPartitions { it =>
-      // per-partition decoder setup would go here (real codecs are costly
-      // to init; amortize across the batch)
       it.map { r =>
         val id = r.getLong(0)
         val kind = r.getString(1)
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-        val feats = decodeStub(bytes)
         val hash = if (bytes == null) 0L
           else com.google.common.hash.Hashing.murmur3_128().hashBytes(bytes).asLong()
-        MediaFeatures(id, kind, bytes != null && bytes.nonEmpty,
-          if (bytes == null) 0L else bytes.length.toLong, hash, feats)
+        val len = if (bytes == null) 0L else bytes.length.toLong
+        if (kind == "image") {
+          decodeImage(bytes) match {
+            case Some(img) =>
+              MediaFeatures(id, kind, ok = true, len, hash,
+                img.getWidth, img.getHeight, gridLuminance(img))
+            case None =>
+              MediaFeatures(id, kind, ok = false, len, hash, 0, 0, Array.fill(16)(0.0f))
+          }
+        } else {
+          // STUB path: audio/video codecs are not in this container
+          MediaFeatures(id, kind, bytes != null && bytes.nonEmpty, len, hash,
+            0, 0, decodeStub(bytes))
+        }
       }
     }
   }
@@ -68,40 +126,51 @@ object Multimodal {
   final case class ResizedImage(media_id: Long, width: Int, height: Int,
                                 target_w: Int, target_h: Int, thumb_hash: Long)
 
-  /** STUB resize: a real implementation would decode + bilinear-resample.
-    * The plumbing (metadata-driven target size, batch iteration, null
-    * safety) is real; the pixel op is a deterministic hash of
-    * (bytes, target box). */
+  /** Real resize: ImageIO decode + bilinear Graphics2D resample into the
+    * `maxDim` bounding box; `thumb_hash` is a content hash of the resampled
+    * ARGB pixels. Undecodable rows are dropped (counted by `ok=false` in
+    * [[extractFeatures]], the screening pass). */
   def resizeImages(spark: SparkSession, media: DataFrame,
                    maxDim: Int = 256): Dataset[ResizedImage] = {
     implicit val enc = Encoders.product[ResizedImage]
-    media.filter(org.apache.spark.sql.functions.col("kind") === "image")
-      .select("media_id", "meta_width", "meta_height", "bytes")
+    media.filter(col("kind") === "image")
+      .select("media_id", "bytes")
       .mapPartitions { it =>
-        it.map { r =>
+        it.flatMap { r =>
           val id = r.getLong(0)
-          val w = if (r.isNullAt(1)) maxDim else r.getInt(1)
-          val h = if (r.isNullAt(2)) maxDim else r.getInt(2)
-          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-          val (tw, th) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          val bytes = if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3)
-          val hash = com.google.common.hash.Hashing.murmur3_128()
-            .newHasher().putBytes(bytes).putInt(tw).putInt(th).hash().asLong()
-          ResizedImage(id, w, h, tw, th, hash)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeImage(bytes).map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val tw = math.max(1, (w * scale).toInt)
+            val th = math.max(1, (h * scale).toInt)
+            val thumb = new BufferedImage(tw, th, BufferedImage.TYPE_INT_ARGB)
+            val g = thumb.createGraphics()
+            g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+            g.dispose()
+            val px = thumb.getRGB(0, 0, tw, th, null, 0, tw)
+            val hasher = com.google.common.hash.Hashing.murmur3_128().newHasher()
+            var i = 0
+            while (i < px.length) { hasher.putInt(px(i)); i += 1 }
+            ResizedImage(id, w, h, tw, th, hasher.hash().asLong())
+          }
         }
       }
   }
 
   final case class FrameSample(media_id: Long, frame_ts_ms: Long, frame_hash: Long)
 
-  /** STUB frame sampling: emits `fps`-spaced frame timestamps across the
+  /** STUB frame sampling: emits `everyMs`-spaced frame timestamps across the
     * clip duration with a deterministic per-frame content hash (a real
-    * impl would seek+decode). One row per sampled frame (flatMap shape —
-    * the UDTF analog). */
+    * impl would seek+decode — no video codecs in this container). One row
+    * per sampled frame (flatMap shape — the UDTF analog). */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    everyMs: Long = 5000L, maxFrames: Int = 16): Dataset[FrameSample] = {
     implicit val enc = Encoders.product[FrameSample]
-    media.filter(org.apache.spark.sql.functions.col("kind") === "video")
+    media.filter(col("kind") === "video")
       .select("media_id", "meta_duration_ms", "bytes")
       .mapPartitions { it =>
         it.flatMap { r =>
@@ -119,18 +188,43 @@ object Multimodal {
       }
   }
 
-  /** Deterministic synthetic media table for tests/bench (binary payloads
-    * derived from the row index — no external data). */
+  /** A real, deterministic tiny PNG: seeded pixel pattern encoded through
+    * ImageIO (exercises the true decode path end-to-end). */
+  def syntheticPng(i: Long): (Array[Byte], Int, Int) = {
+    val w = 8 + (i % 16).toInt
+    val h = 8 + (i % 12).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (i * 2654435761L + x * 31 + y * 131) & 0xffffffL
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    (bos.toByteArray, w, h)
+  }
+
+  /** Deterministic synthetic media table for tests/bench: image rows carry
+    * REAL PNG payloads (decoded by the real path above); audio/video rows
+    * carry opaque seeded bytes for the stub path. No external data. */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
     import spark.implicits._
     val rows = spark.range(0, n, 1, partitions).as[Long].map { i =>
       val kind = (i % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-      val len = 64 + (i % 512).toInt
-      val bytes = Array.tabulate[Byte](len)(k => ((i * 31 + k * 7) & 0xff).toByte)
-      (i, kind, if (kind == "image") "image/png" else if (kind == "audio") "audio/ogg" else "video/webm",
-        bytes, if (kind == "image") Some(64 + (i % 1024).toInt) else None,
-        if (kind == "image") Some(64 + (i % 768).toInt) else None,
-        if (kind != "image") Some(1000L + i % 60000) else None)
+      if (kind == "image") {
+        val (png, w, h) = syntheticPng(i)
+        (i, kind, "image/png", png, Some(w), Some(h), None: Option[Long])
+      } else {
+        val len = 64 + (i % 512).toInt
+        val bytes = Array.tabulate[Byte](len)(k => ((i * 31 + k * 7) & 0xff).toByte)
+        (i, kind, if (kind == "audio") "audio/ogg" else "video/webm",
+          bytes, None: Option[Int], None: Option[Int], Some(1000L + i % 60000))
+      }
     }.toDF("media_id", "kind", "mime", "bytes", "meta_width", "meta_height", "meta_duration_ms")
     rows
   }

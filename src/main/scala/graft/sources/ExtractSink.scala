@@ -24,8 +24,19 @@ object ExtractSink {
   }
 
   /** Extract every (url, html) row to disk. Returns rows written. */
-  def writeFiles(pages: DataFrame, outDir: String, outName: String = "page.html"): Long = {
-    val counter = pages.sparkSession.sparkContext.longAccumulator("extracted_archives")
+  def writeFiles(pages: DataFrame, outDir: String, outName: String = "page.html"): Long =
+    writeFilesCounted(pages, outDir, outName)._1
+
+  /** As [[writeFiles]] but also surfaces the failure count: (written,
+    * failed). Malformed archives are skipped, never silently — both
+    * counters come from Spark accumulators so they hold under retries of
+    * successful tasks (accumulator updates from failed tasks are not
+    * double-counted for actions). */
+  def writeFilesCounted(pages: DataFrame, outDir: String,
+                        outName: String = "page.html"): (Long, Long) = {
+    val sc = pages.sparkSession.sparkContext
+    val counter = sc.longAccumulator("extracted_archives")
+    val failures = sc.longAccumulator("extract_failures")
     pages.select(col("url").cast("string"), col("html"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.foreach { row =>
@@ -43,10 +54,10 @@ object ExtractSink {
                 Files.write(p, bytes)
               }
               counter.add(1)
-            } catch { case _: Exception => () } // malformed rows skipped, counted elsewhere
-          }
+            } catch { case _: Exception => failures.add(1) }
+          } else failures.add(1)
         }
       }
-    counter.value
+    (counter.value, failures.value)
   }
 }

@@ -58,17 +58,22 @@ final class ParquetSnapshotStore(root: String) extends FrontierStore {
 
   override def latest(): Option[Snapshot] = {
     if (!Files.isDirectory(rootPath)) return None
-    val manifests = Files.list(rootPath).iterator()
     var bestEpoch = Long.MinValue
     var bestFile: java.nio.file.Path = null
-    while (manifests.hasNext) {
-      val p = manifests.next()
-      val n = p.getFileName.toString
-      if (n.startsWith("manifest-") && n.endsWith(".json")) {
-        val e = n.stripPrefix("manifest-").stripSuffix(".json").toLong
-        if (e > bestEpoch) { bestEpoch = e; bestFile = p }
+    // Files.list holds an open directory handle until closed — this runs
+    // at least once per epoch, so an unclosed stream leaks an fd per epoch
+    val stream = Files.list(rootPath)
+    try {
+      val manifests = stream.iterator()
+      while (manifests.hasNext) {
+        val p = manifests.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("manifest-") && n.endsWith(".json")) {
+          val e = n.stripPrefix("manifest-").stripSuffix(".json").toLong
+          if (e > bestEpoch) { bestEpoch = e; bestFile = p }
+        }
       }
-    }
+    } finally stream.close()
     if (bestFile == null) None
     else Some(parseManifest(new String(Files.readAllBytes(bestFile), StandardCharsets.UTF_8)))
   }

@@ -67,19 +67,22 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------- in-memory oracle ------------------------------------------------
 
-  private def oracle(epochs: Int): Vector[(Int, Vector[String])] = {
+  /** (scheduled-per-epoch, final frontier map, final seen set). */
+  private def oracle(epochs: Int)
+      : (Vector[(Int, Vector[String])], Map[String, Candidate], Set[String]) = {
     // materialize the corpus once
     val pages: Map[String, Array[Byte]] = {
-      val best = scala.collection.mutable.Map.empty[String, (Long, String, Array[Byte])]
+      // same capture winner as preparePages: max (warc_ts, xxhash64(html))
+      val best = scala.collection.mutable.Map.empty[String, (Long, Long, Array[Byte])]
       for (i <- 0L until N) {
         val u = PyUrl.canonicalize(SyntheticCorpus.urlOf(seed, i)).get
         val html = SyntheticCorpus.htmlOf(seed, i, N).getBytes("UTF-8")
         val ts = SyntheticCorpus.tsOf(seed, i)
-        val b64 = java.util.Base64.getEncoder.encodeToString(html)
-        val ord = Ordering.Tuple2[Long, String]
+        val h = CrawlJob.captureHash(html)
+        val ord = Ordering.Tuple2[Long, Long]
         best.get(u) match {
-          case Some((ots, ob64, _)) if ord.compare((ots, ob64), (ts, b64)) >= 0 => ()
-          case _ => best(u) = (ts, b64, html)
+          case Some((ots, oh, _)) if ord.compare((ots, oh), (ts, h)) >= 0 => ()
+          case _ => best(u) = (ts, h, html)
         }
       }
       best.view.mapValues(_._3).toMap
@@ -156,7 +159,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       frontier = frontier.filter { case (u, _) => !schedSet.contains(u) }
       // drop already-seen (they'd be deduped next epoch anyway — keep; engine dedups next epoch)
     }
-    out.result()
+    (out.result(), frontier, seen)
   }
 
   // ---------- tests -----------------------------------------------------------
@@ -225,11 +228,56 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("crawl order and seen membership match the in-memory oracle") {
     val (store, _) = runCrawl(3)
     val got = scheduledTable(store).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val expect = oracle(3).toMap
+    val expect = oracle(3)._1.toMap
     for (e <- 0 to 2) {
       assert(got.getOrElse(e.toLong, Vector.empty) == expect.getOrElse(e, Vector.empty),
         s"epoch $e order mismatch")
     }
+  }
+
+  test("frontier content matches the oracle modulo dedup and seen") {
+    import spark.implicits._
+    val (store, _) = runCrawl(3)
+    val (_, oracleFrontier, oracleSeen) = oracle(3)
+    val snap = store.latest().get
+    val seenSet = spark.read.parquet(snap.tables("seen").split(";").toIndexedSeq: _*)
+      .select("url").as[String].collect().toSet
+    assert(seenSet == oracleSeen, "seen-set mismatch")
+    // the engine frontier carries raw (possibly duplicate, possibly
+    // already-seen) discovered links for one epoch; the schedulable set —
+    // dedup'd urls that are retried or unseen — must match the oracle's
+    val engineEligible = spark.read.parquet(snap.tables("frontier"))
+      .select("url", "retries").as[(String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      .collect { case (u, r) if r > 0 || !seenSet.contains(u) => u }.toSet
+    val oracleEligible = oracleFrontier.collect {
+      case (u, c) if c.retries > 0 || !oracleSeen.contains(u) => u
+    }.toSet
+    assert(engineEligible == oracleEligible, "frontier schedulable-set mismatch")
+  }
+
+  test("dangling outlinks: retries bounded, frontier still drains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val store = freshStore()
+    val all = CrawlJob.preparePages(SyntheticCorpus.pages(spark, 7L, 60L, 4).toDF())
+    // open-world corpus: ~1/3 of urls exist only as outlinks -> fetch misses
+    val pages = all.filter(xxhash64(col("url")) % 3 =!= 0)
+    val robots = SyntheticCorpus.robots(spark, 7L).toDF()
+    CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, 7L, 60L, 5), cfg)
+    val results = CrawlJob.run(spark, store, pages, robots, cfg, maxEpochs = 60)
+    assert(results.last.frontierSize == 0,
+      "frontier must drain even when outlinks dangle (retry escalation bound)")
+    assert(results.map(_.retried).sum > 0, "fixture must exercise the retry path")
+    assert(results.exists(r => r.fetched < r.scheduled), "fixture must have fetch misses")
+    // no url scheduled more than 1 + maxRetries times
+    val snap = store.latest().get
+    val counts = (0L to snap.epoch).flatMap { e =>
+      val path = snap.tables("scheduled").replaceAll("v\\d+$", s"v$e")
+      spark.read.parquet(path).select("url").as[String].collect()
+    }.groupBy(identity).map(_._2.size)
+    assert(counts.max <= 1 + cfg.maxRetries,
+      s"a url was scheduled ${counts.max} times (> 1 + maxRetries)")
   }
 
   test("run() drains a tiny closed corpus and terminates") {

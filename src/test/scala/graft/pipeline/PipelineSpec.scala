@@ -121,12 +121,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp1 != fpOther, "different docs should fingerprint differently")
   }
 
+  test("real image decode: ImageIO round-trip reports true dimensions") {
+    // decode is REAL (javax.imageio): dimensions must match the encoded PNG
+    val (png, w, h) = Multimodal.syntheticPng(5L)
+    val img = Multimodal.decodeImage(png)
+    assert(img.isDefined, "a real PNG must decode")
+    assert(img.get.getWidth == w && img.get.getHeight == h)
+    val feats = Multimodal.gridLuminance(img.get)
+    assert(feats.length == 16)
+    assert(feats.forall(f => f >= 0.0f && f <= 1.0f))
+    assert(feats.distinct.length > 1, "seeded pixels should vary across the grid")
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+  }
+
   test("multimodal resize + frame sampling plumbing") {
     val media = Multimodal.syntheticMedia(spark, 60L)
     val resized = Multimodal.resizeImages(spark, media, maxDim = 128).collect()
     assert(resized.nonEmpty)
     assert(resized.forall(r => math.max(r.target_w, r.target_h) <= 128))
     assert(resized.forall(r => r.target_w >= 1 && r.target_h >= 1))
+    // decoded dims are the TRUE png dims (syntheticPng: 8+(i%16), 8+(i%12))
+    assert(resized.forall(r =>
+      r.width == 8 + (r.media_id % 16).toInt && r.height == 8 + (r.media_id % 12).toInt))
+    // maxDim=128 > all dims: resize is identity-sized here
+    assert(resized.forall(r => r.target_w == r.width && r.target_h == r.height))
+    val small = Multimodal.resizeImages(spark, media, maxDim = 8).collect()
+    assert(small.forall(r => math.max(r.target_w, r.target_h) == 8),
+      "downscale must hit the bounding box")
     val frames = Multimodal.sampleFrames(spark, media, everyMs = 10000L).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_ts_ms % 10000L == 0))

@@ -167,8 +167,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("pairs"), round(sum(col("jaccard")), 4).as("sum_jaccard"))
     }),
     "dedup_embedding" -> ((s, d) =>
+      // the synthetic embeddings have no planted near-identical pairs (max
+      // cosine ~0.5 at sf0.01), so the demo threshold sits where real
+      // neighbors exist; multi-band LSH keeps recall up near the threshold
       Dedup.embeddingNearDups(s.read.parquet(t(d, "embeddings")), "vec_id", "embedding",
-        threshold = 0.92, planes = 12)
+        threshold = 0.45, bands = 8, planesPerBand = 4)
         .agg(count(lit(1)).as("pairs"),
              coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))),
 
@@ -389,5 +392,758 @@ object SparkEntry {
            THEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
                 / len(regexp_extract_all(text, '\S+'))
            ELSE 0.0 END, 4) AS mean_word_len
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+
+    // ---- golden-constant oracles -------------------------------------------
+    // The remaining operators are not expressible in DuckDB SQL (custom
+    // Catalyst expressions, LSH signatures, the crawl state machine, real
+    // ImageIO decode), but every one is DETERMINISTIC: seeded synthetic
+    // inputs, no wall clock, no partitioning dependence. Their oracles are
+    // therefore golden constants — the query's own verified output at the
+    // driver's correctness scale (sf0.01), generated by
+    // tools/gen_oracles.py from a graft.Verify dump and cross-checked by
+    // tools/check_oracles.py (which replays the driver's compare).
+    "dedup_embedding" ->
+      """SELECT * FROM (VALUES (CAST(14 AS BIGINT), CAST('0.4691' AS DOUBLE))) AS t(pairs, avg_cosine)""",
+    "ann_brute_topk" ->
+      """SELECT * FROM (VALUES (CAST(365 AS BIGINT), CAST('0.37' AS DOUBLE)),
+         (334, CAST('0.3627' AS DOUBLE)),
+         (387, CAST('0.3311' AS DOUBLE)),
+         (423, CAST('0.2969' AS DOUBLE)),
+         (73, CAST('0.2954' AS DOUBLE)),
+         (7, CAST('0.2928' AS DOUBLE)),
+         (320, CAST('0.2879' AS DOUBLE)),
+         (190, CAST('0.2818' AS DOUBLE)),
+         (464, CAST('0.2766' AS DOUBLE)),
+         (388, CAST('0.2763' AS DOUBLE))) AS t(vec_id, cosine)""",
+    "ann_lsh_topk" ->
+      """SELECT * FROM (VALUES (CAST(464 AS BIGINT), CAST('0.2766' AS DOUBLE)),
+         (131, CAST('0.2406' AS DOUBLE)),
+         (415, CAST('0.238' AS DOUBLE)),
+         (204, CAST('0.1594' AS DOUBLE)),
+         (429, CAST('0.1498' AS DOUBLE)),
+         (419, CAST('0.0982' AS DOUBLE)),
+         (361, CAST('0.0582' AS DOUBLE)),
+         (57, CAST('0.0326' AS DOUBLE)),
+         (212, CAST('-0.1097' AS DOUBLE))) AS t(vec_id, cosine)""",
+    "dedup_minhash" ->
+      """SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST('0.9709' AS DOUBLE))) AS t(pairs, avg_jaccard)""",
+    "dedup_ngram_jaccard" ->
+      """SELECT * FROM (VALUES (CAST(45 AS BIGINT), CAST('24.5947' AS DOUBLE))) AS t(pairs, sum_jaccard)""",
+    "dedup_simhash" ->
+      """SELECT * FROM (VALUES (CAST(17 AS BIGINT), CAST('1.7059' AS DOUBLE))) AS t(pairs, avg_hamming)""",
+    "extract_html_parity" ->
+      """SELECT * FROM (VALUES ('https://en.wikipedia.org/wiki/Main_Page', CAST(499962 AS INTEGER), 'a0d43942bf65068e88d08f48995000009c9b7b23472ef6943d1318419792ba71', CAST(26 AS INTEGER))) AS t(url, extracted_chars, sha, resources)""",
+    "media_features" ->
+      """SELECT * FROM (VALUES ('audio', CAST(100 AS BIGINT), CAST(21350 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         ('image', 100, 51029, 100, 100, 1538, 1250),
+         ('video', 100, 21450, 100, 100, 0, 0)) AS t(kind, n, bytes, distinct_hashes, decoded_ok, width_sum, height_sum)""",
+    "mime_classes" ->
+      """SELECT * FROM (VALUES ('image/jpeg', FALSE, FALSE, CAST(6 AS BIGINT)),
+         ('image/png', FALSE, FALSE, 15),
+         ('text/css', FALSE, TRUE, 3),
+         ('text/javascript', FALSE, TRUE, 1)) AS t(mime, is_html, is_text, n)""",
+    "text_fingerprint" ->
+      """SELECT * FROM (VALUES (CAST(481 AS BIGINT), CAST(500 AS BIGINT))) AS t(distinct_fps, n)""",
+    "text_langid" ->
+      """SELECT * FROM (VALUES ('en', CAST(382 AS BIGINT)),
+         ('und', 118)) AS t(pred_lang, n)""",
+    "text_quality_score" ->
+      """SELECT * FROM (VALUES (CAST('0.5' AS DOUBLE), CAST(2 AS BIGINT)),
+         (CAST('0.625' AS DOUBLE), 67),
+         (CAST('0.75' AS DOUBLE), 159),
+         (CAST('0.875' AS DOUBLE), 207),
+         (CAST('1.0' AS DOUBLE), 65)) AS t(quality, n)""",
+    "crawl_canonicalize" ->
+      """SELECT * FROM (VALUES ('host0.example', CAST(61 AS BIGINT)),
+         ('host1.example', 29),
+         ('host10.example', 10),
+         ('host100.example', 1),
+         ('host11.example', 2),
+         ('host12.example', 5),
+         ('host13.example', 7),
+         ('host14.example', 7),
+         ('host15.example', 7),
+         ('host16.example', 11),
+         ('host17.example', 5),
+         ('host18.example', 5),
+         ('host19.example', 4),
+         ('host2.example', 18),
+         ('host20.example', 6),
+         ('host21.example', 4),
+         ('host22.example', 4),
+         ('host23.example', 3),
+         ('host24.example', 4),
+         ('host25.example', 3),
+         ('host26.example', 9),
+         ('host27.example', 4),
+         ('host28.example', 2),
+         ('host29.example', 3),
+         ('host3.example', 17),
+         ('host30.example', 8),
+         ('host31.example', 4),
+         ('host32.example', 2),
+         ('host33.example', 5),
+         ('host34.example', 2),
+         ('host35.example', 1),
+         ('host36.example', 3),
+         ('host37.example', 3),
+         ('host38.example', 6),
+         ('host39.example', 5),
+         ('host4.example', 6),
+         ('host40.example', 4),
+         ('host41.example', 4),
+         ('host42.example', 2),
+         ('host44.example', 4),
+         ('host45.example', 3),
+         ('host46.example', 5),
+         ('host47.example', 3),
+         ('host48.example', 6),
+         ('host49.example', 5),
+         ('host5.example', 11),
+         ('host50.example', 2),
+         ('host51.example', 5),
+         ('host52.example', 3),
+         ('host53.example', 1),
+         ('host54.example', 4),
+         ('host55.example', 5),
+         ('host56.example', 1),
+         ('host57.example', 3),
+         ('host58.example', 8),
+         ('host6.example', 8),
+         ('host60.example', 4),
+         ('host61.example', 6),
+         ('host62.example', 3),
+         ('host63.example', 1),
+         ('host64.example', 8),
+         ('host65.example', 1),
+         ('host66.example', 7),
+         ('host67.example', 4),
+         ('host68.example', 2),
+         ('host69.example', 6),
+         ('host7.example', 8),
+         ('host70.example', 2),
+         ('host71.example', 1),
+         ('host72.example', 4),
+         ('host73.example', 3),
+         ('host74.example', 5),
+         ('host75.example', 1),
+         ('host76.example', 1),
+         ('host77.example', 2),
+         ('host78.example', 3),
+         ('host79.example', 1),
+         ('host8.example', 9),
+         ('host80.example', 4),
+         ('host81.example', 1),
+         ('host82.example', 4),
+         ('host83.example', 4),
+         ('host86.example', 3),
+         ('host87.example', 5),
+         ('host88.example', 2),
+         ('host89.example', 2),
+         ('host9.example', 8),
+         ('host91.example', 1),
+         ('host92.example', 3),
+         ('host93.example', 1),
+         ('host95.example', 4),
+         ('host96.example', 2),
+         ('host97.example', 4),
+         ('host98.example', 3),
+         ('host99.example', 4)) AS t(host, n)""",
+    "crawl_schedule" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'https://host0.example/p5f5.html'),
+         (1, 0, 'https://host2.example/pa06/pb8d/p85b.html'),
+         (1, 0, 'https://host22.example/p768.html'),
+         (1, 0, 'https://host26.example/p1c5/p1e.html'),
+         (1, 0, 'https://host28.example/pb52/p762.html'),
+         (1, 0, 'https://host3.example/p85b/p7f8.html'),
+         (1, 0, 'https://host31.example/pde3.html'),
+         (1, 0, 'https://host32.example/p53f/pb38.html'),
+         (1, 0, 'https://host38.example/p63e.html'),
+         (1, 0, 'https://host5.example/p2f1/pfa4/p873/p8e5.html'),
+         (1, 0, 'https://host62.example/p2b.html'),
+         (1, 0, 'https://host64.example/pd57/pba8/pde4.html'),
+         (1, 0, 'https://host67.example/p3a8.html'),
+         (1, 0, 'https://host9.example/p46c.html'),
+         (1, 0, 'https://host98.example/p6f/p5bf/p8e5/p873.html'),
+         (1, 0, 'https://host1.example/p404/pbe5.html'),
+         (1, 0, 'https://host15.example/pcc3/p4c4/p759.html'),
+         (1, 0, 'https://host46.example/pe41/pbe6.html'),
+         (1, 0, 'https://host51.example/pe0a/p5c7.html'),
+         (1, 0, 'https://host68.example/p4a8/p480.html'),
+         (1, 0, 'https://host69.example/p2c9/p666/p898.html'),
+         (1, 0, 'https://host78.example/p375.html'),
+         (1, 0, 'https://host82.example/p480/pa32/p5a4.html'),
+         (1, 0, 'https://host83.example/pe83/p7f2/p59e.html'),
+         (1, 0, 'https://host99.example/p5bc/p358.html'),
+         (1, 0, 'https://host19.example/p5b7/pf71/p4be/p91.html'),
+         (1, 0, 'https://host20.example/pb09/pc7d/pa68/p305.html'),
+         (1, 0, 'https://host35.example/p66f.html'),
+         (1, 0, 'https://host37.example/pc8c/pb83/p12.html'),
+         (1, 0, 'https://host4.example/p359/p2b/pe7a/p15d.html'),
+         (1, 0, 'https://host49.example/p109/pc80/pad0.html'),
+         (1, 0, 'https://host6.example/p7f8/p85b.html'),
+         (1, 0, 'https://host86.example/pa9e/p501.html'),
+         (1, 0, 'https://host10.example/pd12/pbe5.html'),
+         (1, 0, 'https://host16.example/pc56/p5b2/pa47/p6f7.html'),
+         (1, 0, 'https://host24.example/pc86/p8d7/p1e/peae.html'),
+         (1, 0, 'https://host39.example/p36c/pe7a.html'),
+         (1, 0, 'https://host55.example/p52f/pa47/p5b2/pc81.html'),
+         (1, 0, 'https://host58.example/p439.html'),
+         (1, 0, 'https://host74.example/pc74.html'),
+         (1, 0, 'https://host87.example/p59e/p8e8/pe83/p9d0.html'),
+         (1, 0, 'https://host92.example/p392/pbba/p3d8.html'),
+         (1, 0, 'https://host96.example/p544.html'),
+         (1, 1, 'https://host0.example/pd7/p873/pfa4.html'),
+         (1, 1, 'https://host2.example/p931/pde3/p6be.html'),
+         (1, 1, 'https://host22.example/p666/p2c9.html'),
+         (1, 1, 'https://host3.example/p9bc/p3f7/p2a6/p1f5.html'),
+         (1, 1, 'https://host32.example/p3f7.html'),
+         (1, 1, 'https://host64.example/pfa4/p2f1/pd7.html'),
+         (1, 1, 'https://host9.example/p523/pdc7/p50b/pfae.html'),
+         (1, 1, 'https://host1.example/pa4b/p29b/p7a4/pbb2.html'),
+         (1, 1, 'https://host15.example/p969/p97f/p480.html'),
+         (1, 1, 'https://host69.example/ped8/pa07/pa5d/p66f.html'),
+         (1, 1, 'https://host78.example/p18d/pdd3/p73a/p962.html'),
+         (1, 1, 'https://host82.example/p9ad/p11f/pfc5.html'),
+         (1, 1, 'https://host4.example/p709/pdda/p68a/p46c.html'),
+         (1, 1, 'https://host49.example/pa47.html'),
+         (1, 1, 'https://host86.example/pb6c/p91.html'),
+         (1, 1, 'https://host55.example/pc80/p109/p22b/p185.html'),
+         (1, 1, 'https://host58.example/pfae/p3a8/p333/p523.html'),
+         (1, 2, 'https://host0.example/pbb2/pf23.html'),
+         (1, 2, 'https://host2.example/peae/pb7d/p6de/pc86.html'),
+         (1, 2, 'https://host22.example/pfd1/pb68/pb2f.html'),
+         (1, 2, 'https://host1.example/p60c/pb1a/p606/pa1.html'),
+         (1, 2, 'https://host4.example/p43c.html'),
+         (1, 3, 'https://host0.example/p3d/pe1b/p7c2.html'),
+         (1, 3, 'https://host1.example/p44c/pc64/peeb/p2c9.html')) AS t(epoch, seq, url)""",
+    "extract_files_manifest" ->
+      """SELECT * FROM (VALUES ('page.html', '16e8268dd4ef01496ef0bdd7a761e97420b0dcf4a138c1bc5606a62ee0cde44a', CAST(132537 AS BIGINT)),
+         ('page_files/120px-Boeing_747-437_2C_Air_India_AN1722944.jpg', 'd5b90587f7a1fc779014f7167664b3f996217ef05ebf5b1491c1ba6a069c9bfd', 2059),
+         ('page_files/120px-P.G._Wodehouse_2C_1930.jpg', 'e69027e212e54aecb8bfbf5cdb033c0d71bcf0e4ee4ba239d1c38337fbf8748e', 5902),
+         ('page_files/125px-Kinewell_Lake_4.jpg', '533773c77ef275c99120e2e008645d56981522655e15da4321f31aa31046fd4c', 5440),
+         ('page_files/140px-Expedition_57_Launch__28NHQ201810110004_29.jpg', '94a39762ea024026a39f8eaecf828c01e0eb546a7623783a97e66fd0d23c4df8', 3547),
+         ('page_files/31px-Commons-logo.svg.png', 'a0dda51e57ad0e2ec802606489f2a6a9b63e40bfbc8f504dcff4284ecf1c4ed8', 1772),
+         ('page_files/35px-Mediawiki-logo.png', 'd7dad1e2c2ffb0969d3b763849f6682ca76ccec41962b59b1853a668da952adb', 5718),
+         ('page_files/35px-Wikibooks-logo.svg.png', 'fc0107e8e847139b9abf41d106457fe4205ce21c784418e44fee051a779f35e8', 2264),
+         ('page_files/35px-Wikimedia_Community_Logo.svg.png', 'cfb6ca28a68242821bb060556aa166dcd6cac27e1993d59e72ce1526675a81e1', 2181),
+         ('page_files/35px-Wikiquote-logo.svg.png', 'd9f63ab1ec660488ff5b2eaee67eba859d34e9ef591f491451907e6ef328fb51', 2073),
+         ('page_files/35px-Wikisource-logo.svg.png', 'd77828e45452c3d77a8678f4950f3f36820a0d726359fec1f5b8da9209e749b8', 2295),
+         ('page_files/35px-Wikispecies-logo.svg.png', '77194656a7ccfc97f67148f90e1ba29ac3719a34dc85937e432cbd7a13b7285f', 3071),
+         ('page_files/35px-Wikivoyage-Logo-v3-icon.svg.png', '3be4acc3692b350cefbeac4ffed10c1a2c1675763f151713db00ab71e978cd42', 1028),
+         ('page_files/35px-Wiktionary-logo-v2.svg.png', 'c899b9f9e6aacb97e539f1a9a0303281454e4b056d74f701783c7c2dff6a7887', 1707),
+         ('page_files/380px-Nordlyskatedralen_2C_Alta_2C_Northeast_view_20150611_1.jpg', '45c5966bc082edc71446e468fb7dd63ec19033c18a81c495ffa3916293a49d59', 23195),
+         ('page_files/41px-Wikiversity_logo_2017.svg.png', '15b7d0d987a5cecef45eb992524dd67a711b708b2f6293c7794e0eca10c663ef', 1128),
+         ('page_files/47px-Wikidata-logo.svg.png', 'e5a9dbcd570efc37d617fe761b089414043da7ac04075b3d046c267fbc8491b6', 502),
+         ('page_files/51px-Wikinews-logo.svg.png', '1bc8b1c8ff688674c1f097dceef2ef989dd32dfc0246524ae572b957a79a326d', 3004),
+         ('page_files/93px-Spyridon_Louis_1896.jpg', '51d522f9137d85fdef9d8277000e44b7e5c60760e95a5afca8cfc125a1313983', 5473),
+         ('page_files/enwiki.png', 'a85dbbf1b921caeaf0a05e13051602a327072ab15228e63876fcf978bbe26380', 20616),
+         ('page_files/load.2.css', 'd76e658e3f437da385a4bd6b0d30791609fde27344665dc9ed82e334a60bc7c7', 277),
+         ('page_files/load.3.css', '0f9071a56e6a8a7d6c13d23046c5f3079d06553a7b6415dba356df6a84afe55c', 20378),
+         ('page_files/load.css', '0f0ca4437a32bff956997542f7ad56d73130b5667d34f14fba797600ecd4fb71', 44709),
+         ('page_files/load.es', 'a452c06c8136e9ffbd33c812ab479f8ed2720269f9a1eff832a5182b184fa47c', 106821),
+         ('page_files/poweredby_mediawiki_88x31.png', 'f5aff06d1629d3a6214461c216c43078dc7f2a261f48ffea33b39ceb621ddff0', 1582),
+         ('page_files/wikimedia-button.png', 'd5eb9fac5e2800d1c9307a216c8ba756e4ddda62faa2493b2e13fdff7b62faaa', 2426)) AS t(path, sha256, bytes)""",
+    "crawl_outlinks" ->
+      """SELECT * FROM (VALUES ('https://host0.example/p108/pe14/pa71/p480.html', CAST(6 AS INTEGER)),
+         ('https://host0.example/p12/pe8/pc8c.html', 8),
+         ('https://host0.example/p1e1/pa12/p144/p602.html', 7),
+         ('https://host0.example/p2b5/p3d5/p94f.html', 11),
+         ('https://host0.example/p318/pa73.html', 6),
+         ('https://host0.example/p342/p9c2/p9b5/pcf5.html', 8),
+         ('https://host0.example/p34d/p6f7.html', 11),
+         ('https://host0.example/p35d/p583/p762.html', 11),
+         ('https://host0.example/p3d/pe1b/p7c2.html', 11),
+         ('https://host0.example/p3d1.html', 7),
+         ('https://host0.example/p3d5/p2b5.html', 11),
+         ('https://host0.example/p3d8.html', 6),
+         ('https://host0.example/p4c7/pd67.html', 13),
+         ('https://host0.example/p5/pf03/paff/pfca.html', 11),
+         ('https://host0.example/p505/p490.html', 11),
+         ('https://host0.example/p5a4/p7e7/p480.html', 10),
+         ('https://host0.example/p5b.html', 9),
+         ('https://host0.example/p5f0/pa8a.html', 6),
+         ('https://host0.example/p5f4/p333/p3a8/p3d8.html', 10),
+         ('https://host0.example/p5f5.html', 10),
+         ('https://host0.example/p6be/p75b/p931/p437.html', 12),
+         ('https://host0.example/p6ff.html', 13),
+         ('https://host0.example/p74a/p4d2.html', 8),
+         ('https://host0.example/p7c2/pa45/p3d/p53f.html', 8),
+         ('https://host0.example/p827.html', 13),
+         ('https://host0.example/p840/p36/p305.html', 6),
+         ('https://host0.example/p877.html', 13),
+         ('https://host0.example/p878/p10e/pce5.html', 6),
+         ('https://host0.example/p8e7/pcde.html', 13),
+         ('https://host0.example/p962.html', 8),
+         ('https://host0.example/p9ca/paaf/pb0f/p6b1.html', 8),
+         ('https://host0.example/p9ea/pe4c.html', 7),
+         ('https://host0.example/p9f4/p1bd.html', 10),
+         ('https://host0.example/pa45/p7c2/pe1b.html', 11),
+         ('https://host0.example/pad6.html', 12),
+         ('https://host0.example/paff.html', 13),
+         ('https://host0.example/pb0f/p867/p9ca.html', 13),
+         ('https://host0.example/pb31.html', 7),
+         ('https://host0.example/pba8/pd57.html', 6),
+         ('https://host0.example/pbb2/pf23.html', 8),
+         ('https://host0.example/pbb4/p4cd/p3d8.html', 10),
+         ('https://host0.example/pbe5/p404/p1fb.html', 10),
+         ('https://host0.example/pcde/p8e7/p349.html', 12),
+         ('https://host0.example/pce5.html', 11),
+         ('https://host0.example/pcf5/pa0c/p915/p342.html', 11),
+         ('https://host0.example/pd4/pca5/p93f.html', 10),
+         ('https://host0.example/pd44/pe7a.html', 10),
+         ('https://host0.example/pd7/p873/pfa4.html', 12),
+         ('https://host0.example/pd85/p89/p1d5/pe13.html', 11),
+         ('https://host0.example/pdb7/p127/p78c.html', 13),
+         ('https://host0.example/pdce/pf70/p46c/p68a.html', 12),
+         ('https://host0.example/pe14/p3d8.html', 10),
+         ('https://host0.example/pe44.html', 10),
+         ('https://host0.example/pee8.html', 6),
+         ('https://host0.example/peeb/p3ad.html', 9),
+         ('https://host0.example/pf15/pc01.html', 9),
+         ('https://host0.example/pf5/pa2c/p1c4/p940.html', 11),
+         ('https://host0.example/pf71.html', 7),
+         ('https://host0.example/pf81/p4f0/p5af/p81e.html', 7),
+         ('https://host0.example/pfb4/pc4e.html', 8),
+         ('https://host0.example/pfca.html', 8),
+         ('https://host1.example/p2cf/p34c.html', 13),
+         ('https://host1.example/p34c.html', 10),
+         ('https://host1.example/p3ad/peeb/pc64/p7ec.html', 11),
+         ('https://host1.example/p401/p2ab/p788/p5a4.html', 7),
+         ('https://host1.example/p404/pbe5.html', 10),
+         ('https://host1.example/p44c/pc64/peeb/p2c9.html', 10),
+         ('https://host1.example/p450/p93f/pca5.html', 6),
+         ('https://host1.example/p4c7/pcb5/p46.html', 13),
+         ('https://host1.example/p583.html', 9),
+         ('https://host1.example/p5c9/p3cc/pd3.html', 7),
+         ('https://host1.example/p60c/pb1a/p606/pa1.html', 9),
+         ('https://host1.example/p6ce.html', 12),
+         ('https://host1.example/p73a/p3db/p18d.html', 8),
+         ('https://host1.example/p788/p666/p401/p480.html', 6),
+         ('https://host1.example/p810/p117/p215.html', 6),
+         ('https://host1.example/p833/pb1e/p66f/pa5d.html', 9),
+         ('https://host1.example/p83c/p147.html', 10),
+         ('https://host1.example/p8f8.html', 6),
+         ('https://host1.example/pa4b/p29b/p7a4/pbb2.html', 9),
+         ('https://host1.example/pa71.html', 7),
+         ('https://host1.example/pb38/p53f.html', 6),
+         ('https://host1.example/pb83/pc8c/pe8.html', 9),
+         ('https://host1.example/pbe5/pd12.html', 10),
+         ('https://host1.example/pd31/p245/pe15.html', 7),
+         ('https://host1.example/pdda/p709/pe44/paea.html', 8),
+         ('https://host1.example/pe95/p949.html', 11),
+         ('https://host1.example/pea1/p437/p51.html', 7),
+         ('https://host1.example/pfd2.html', 8),
+         ('https://host1.example/pfdb/pcf6/p4e6/p245.html', 9),
+         ('https://host10.example/p179/p185/p4ae.html', 7),
+         ('https://host10.example/p1fb.html', 9),
+         ('https://host10.example/p3c1/p15d/pfbe/p5f5.html', 6),
+         ('https://host10.example/p517.html', 13),
+         ('https://host10.example/p567/pb2f/pb68.html', 13),
+         ('https://host10.example/p8e8/p59e/p7f2/pdbe.html', 6),
+         ('https://host10.example/pb52/pc74/p12b.html', 8),
+         ('https://host10.example/pc64/p44c/p3ad.html', 10),
+         ('https://host10.example/pd12/pbe5.html', 8),
+         ('https://host10.example/pf23/p68/p4cb.html', 8),
+         ('https://host100.example/p305.html', 11),
+         ('https://host11.example/pd59/p403/p137/p1a2.html', 7),
+         ('https://host11.example/pdee/p5e3/pd12/p9a1.html', 11),
+         ('https://host12.example/p10c/pdbc/pbba.html', 10),
+         ('https://host12.example/p4cb/p958.html', 8),
+         ('https://host12.example/p62e/p148/pb72/pa73.html', 12),
+         ('https://host12.example/pa1b/pa68/pc7d/p36.html', 9),
+         ('https://host12.example/pfee/p9c3.html', 12),
+         ('https://host13.example/p2cc/ped6/p193.html', 10),
+         ('https://host13.example/p32/p363.html', 8),
+         ('https://host13.example/p46.html', 12),
+         ('https://host13.example/p4d6/p316/pcfb.html', 12),
+         ('https://host13.example/pc8/pce5.html', 6),
+         ('https://host13.example/pd15/pdb1.html', 11),
+         ('https://host13.example/pf3/pa06/p2cf/pca5.html', 9),
+         ('https://host14.example/p144.html', 10),
+         ('https://host14.example/p22d.html', 10),
+         ('https://host14.example/p714.html', 10),
+         ('https://host14.example/p949/pe95/pf88/p453.html', 7),
+         ('https://host14.example/pb2f/p567.html', 13),
+         ('https://host14.example/pc81/p44c.html', 7),
+         ('https://host14.example/pef/pa5d/pa07.html', 13),
+         ('https://host15.example/p73b/pee8.html', 9),
+         ('https://host15.example/p81e.html', 12),
+         ('https://host15.example/p8e5/p74.html', 11),
+         ('https://host15.example/p969/p97f/p480.html', 7),
+         ('https://host15.example/pcc3/p4c4/p759.html', 9),
+         ('https://host15.example/pd1/p181/p369.html', 7),
+         ('https://host15.example/pe15.html', 11),
+         ('https://host16.example/p215/pe5b.html', 11),
+         ('https://host16.example/p26e.html', 12),
+         ('https://host16.example/p437/pea1/p1dc/p6be.html', 13),
+         ('https://host16.example/p717/pf2c/pb0/p121.html', 13),
+         ('https://host16.example/pb6c/pacf.html', 9),
+         ('https://host16.example/pc56/p5b2/pa47/p6f7.html', 12),
+         ('https://host16.example/pd86.html', 12),
+         ('https://host16.example/pdee/pb29/p49a.html', 12),
+         ('https://host16.example/pec6/pd86/p223/p78c.html', 12),
+         ('https://host16.example/pf00/p3f4.html', 6),
+         ('https://host16.example/pf2c/p717/p544/pbe3.html', 10),
+         ('https://host17.example/p230.html', 6),
+         ('https://host17.example/p245/pd31/p666/pfdb.html', 11),
+         ('https://host17.example/p3f4/pf00/pbe6/p517.html', 10),
+         ('https://host17.example/p666/p788/p2ab/pa32.html', 12),
+         ('https://host17.example/pa59/p72f/p43c/p18.html', 7),
+         ('https://host18.example/p112/pf88/pe95/pad6.html', 8),
+         ('https://host18.example/p229/p4ae/p185.html', 7),
+         ('https://host18.example/p358.html', 6),
+         ('https://host18.example/p4be/p231.html', 12),
+         ('https://host18.example/pe4c/p9ea/pbf4.html', 9),
+         ('https://host19.example/p5b7/pf71/p4be/p91.html', 13),
+         ('https://host19.example/paea/p46c/pf70.html', 8),
+         ('https://host19.example/pd3/pdbf.html', 9),
+         ('https://host19.example/pe35.html', 11),
+         ('https://host2.example/p100.html', 6),
+         ('https://host2.example/p18c/p1d6.html', 10),
+         ('https://host2.example/p602.html', 8),
+         ('https://host2.example/p65c.html', 10),
+         ('https://host2.example/p724/pda4/pb38/pe1b.html', 10),
+         ('https://host2.example/p74e/p94e.html', 12),
+         ('https://host2.example/p931/pde3/p6be.html', 7),
+         ('https://host2.example/p9d0.html', 6),
+         ('https://host2.example/pa06/pb8d/p85b.html', 12),
+         ('https://host2.example/pa73/p318.html', 9),
+         ('https://host2.example/pa8a/p5f0/p9a1/pd12.html', 8),
+         ('https://host2.example/pb68.html', 6),
+         ('https://host2.example/pc9a/p7a4.html', 8),
+         ('https://host2.example/pdbc/p10c/p904.html', 10),
+         ('https://host2.example/pe04/p51.html', 10),
+         ('https://host2.example/peae/pb7d/p6de/pc86.html', 12),
+         ('https://host2.example/ped6/p2cc.html', 12),
+         ('https://host2.example/pef7/p506.html', 13),
+         ('https://host20.example/p147.html', 12),
+         ('https://host20.example/p892/p314/p827.html', 8),
+         ('https://host20.example/p940/p230/pd44.html', 6),
+         ('https://host20.example/pb0/p544.html', 6),
+         ('https://host20.example/pb09/pc7d/pa68/p305.html', 7),
+         ('https://host20.example/pe9f/p115/p490.html', 13),
+         ('https://host21.example/p1bd.html', 11),
+         ('https://host21.example/p8a8/p40d/p5b/pa1b.html', 6),
+         ('https://host21.example/p944/p5f3.html', 10),
+         ('https://host21.example/pf70/pdce/paea/pe44.html', 6),
+         ('https://host22.example/p666/p2c9.html', 12),
+         ('https://host22.example/p7/pad6/p453/pf88.html', 13),
+         ('https://host22.example/p768.html', 6),
+         ('https://host22.example/pfd1/pb68/pb2f.html', 7),
+         ('https://host23.example/p64.html', 10),
+         ('https://host23.example/p89a.html', 8),
+         ('https://host23.example/peec/pa1b/p907.html', 10),
+         ('https://host24.example/p9c3.html', 9),
+         ('https://host24.example/pc86/p8d7/p1e/peae.html', 12),
+         ('https://host24.example/pf3/p100.html', 8),
+         ('https://host24.example/pfbe/pc05/p3c1.html', 11),
+         ('https://host25.example/p543/p15.html', 9),
+         ('https://host25.example/p898/p7ec/p2c9.html', 6),
+         ('https://host25.example/pb85/p453.html', 11),
+         ('https://host26.example/p1a2/p43c/p72f/pd59.html', 8),
+         ('https://host26.example/p1c5/p1e.html', 11),
+         ('https://host26.example/p33/p66f.html', 9),
+         ('https://host26.example/p4d2/p74a/p962/p73a.html', 8),
+         ('https://host26.example/p5bf/p6f/p74.html', 13),
+         ('https://host26.example/p7ec.html', 10),
+         ('https://host26.example/p9d2.html', 8),
+         ('https://host26.example/pec0/p3db/p5f5/pfbe.html', 5),
+         ('https://host26.example/pf76/p375.html', 11),
+         ('https://host27.example/p78c/p76f/pdb7/pec6.html', 10),
+         ('https://host27.example/pa44/p207/p363/pe0a.html', 10),
+         ('https://host27.example/pbe6/pe41.html', 12),
+         ('https://host27.example/pf6d/p602/pcba.html', 11),
+         ('https://host28.example/pb52/p762.html', 8),
+         ('https://host28.example/pca5/pd4/p450/pf3.html', 11),
+         ('https://host29.example/p330.html', 6),
+         ('https://host29.example/p9d/p636/p64.html', 11),
+         ('https://host29.example/pdbe/p9d0/p543/p8e8.html', 12),
+         ('https://host3.example/p11f.html', 13),
+         ('https://host3.example/p15/p543.html', 11),
+         ('https://host3.example/p1bf.html', 13),
+         ('https://host3.example/p424/p52.html', 10),
+         ('https://host3.example/p49c/p81.html', 10),
+         ('https://host3.example/p5e3/pdee/pbe5.html', 8),
+         ('https://host3.example/p767/pe35/pbea.html', 13),
+         ('https://host3.example/p85b/p7f8.html', 9),
+         ('https://host3.example/p89.html', 7),
+         ('https://host3.example/p8d7/pc86/p1c5/pb7d.html', 13),
+         ('https://host3.example/p9bc/p3f7/p2a6/p1f5.html', 9),
+         ('https://host3.example/pbf4/p22d/pe4c/pf15.html', 9),
+         ('https://host3.example/pc17.html', 13),
+         ('https://host3.example/pc34.html', 10),
+         ('https://host3.example/pcfb/p8c3.html', 9),
+         ('https://host3.example/pdd7/paca.html', 13),
+         ('https://host3.example/pe14/p108.html', 10),
+         ('https://host30.example/p17b.html', 9),
+         ('https://host30.example/p5f/p81e/p506/p4f0.html', 13),
+         ('https://host30.example/p83b/pd1d/p4c7/pde4.html', 9),
+         ('https://host30.example/pad0/p22b/p109/p4ae.html', 6),
+         ('https://host30.example/pcc1/p6ce.html', 7),
+         ('https://host30.example/pe13/pa5b/p230.html', 9),
+         ('https://host30.example/pe3a/pf6c/p91/p4be.html', 8),
+         ('https://host30.example/pe98/p7f9.html', 6),
+         ('https://host31.example/p223/p9d2/pec6.html', 9),
+         ('https://host31.example/p67a.html', 8),
+         ('https://host31.example/p68/pf23/p958.html', 5),
+         ('https://host31.example/pde3.html', 9),
+         ('https://host32.example/p3f7.html', 12),
+         ('https://host32.example/p53f/pb38.html', 13),
+         ('https://host33.example/p314.html', 10),
+         ('https://host33.example/p369.html', 7),
+         ('https://host33.example/p9d9/p606.html', 6),
+         ('https://host33.example/pbba/p392/pe14.html', 8),
+         ('https://host33.example/pcf6/pfdb/p768.html', 12),
+         ('https://host34.example/p132/pd7e/pb31.html', 8),
+         ('https://host34.example/p185.html', 11),
+         ('https://host35.example/p66f.html', 13),
+         ('https://host36.example/p4c4.html', 10),
+         ('https://host36.example/p867.html', 13),
+         ('https://host36.example/pf69.html', 7),
+         ('https://host37.example/p782/pf73.html', 8),
+         ('https://host37.example/pc8c/pb83/p12.html', 10),
+         ('https://host37.example/pf23/pbb2/p81/p29b.html', 9),
+         ('https://host38.example/p0/p35a/paca.html', 6),
+         ('https://host38.example/p207.html', 13),
+         ('https://host38.example/p230/p967/pe13.html', 6),
+         ('https://host38.example/p63e.html', 12),
+         ('https://host38.example/p7f9/pe98/pf73.html', 7),
+         ('https://host38.example/pcba/p9ed/pf6d.html', 8),
+         ('https://host39.example/p231/p4be.html', 7),
+         ('https://host39.example/p2ab.html', 9),
+         ('https://host39.example/p36c/pe7a.html', 10),
+         ('https://host39.example/pc05/pfbe.html', 10),
+         ('https://host39.example/pfcd/p877/p222.html', 11),
+         ('https://host4.example/p359/p2b/pe7a/p15d.html', 7),
+         ('https://host4.example/p43c.html', 10),
+         ('https://host4.example/p709/pdda/p68a/p46c.html', 7),
+         ('https://host4.example/p951/p93d/p74e/p583.html', 7),
+         ('https://host4.example/p984/p330.html', 10),
+         ('https://host4.example/pde4/pe9e/pd57.html', 10),
+         ('https://host40.example/p44c/pc81/p6f7/pa47.html', 10),
+         ('https://host40.example/p49f/p67a/p991.html', 13),
+         ('https://host40.example/p794/pd65/p6ff.html', 10),
+         ('https://host40.example/pdc7/p523.html', 13),
+         ('https://host41.example/p117/p810/pe5b/p67a.html', 13),
+         ('https://host41.example/p36.html', 12),
+         ('https://host41.example/p94e.html', 12),
+         ('https://host41.example/pa0c/pcf5.html', 10),
+         ('https://host42.example/p13e.html', 12),
+         ('https://host42.example/p5b2.html', 8),
+         ('https://host44.example/p50b/p3d8/p523.html', 9),
+         ('https://host44.example/p915.html', 11),
+         ('https://host44.example/pa5b.html', 9),
+         ('https://host44.example/pb8d/pa06.html', 11),
+         ('https://host45.example/p9c2/p342.html', 8),
+         ('https://host45.example/pdd0/p144.html', 6),
+         ('https://host45.example/pe9e.html', 12),
+         ('https://host46.example/p51.html', 7),
+         ('https://host46.example/p5c7/pe0a/p1d6.html', 13),
+         ('https://host46.example/p9f0.html', 6),
+         ('https://host46.example/pdd7/pa71.html', 13),
+         ('https://host46.example/pe41/pbe6.html', 7),
+         ('https://host47.example/p5f3/p944.html', 9),
+         ('https://host47.example/p6de.html', 12),
+         ('https://host47.example/peb0/p907/pa1b/p5b.html', 6),
+         ('https://host48.example/p3d6.html', 12),
+         ('https://host48.example/p3db/p73a/pdd3.html', 9),
+         ('https://host48.example/p979.html', 7),
+         ('https://host48.example/pa31/pfd2/p83c.html', 7),
+         ('https://host48.example/paaf/p9ca/p867.html', 13),
+         ('https://host48.example/pb92/p193/ped6.html', 8),
+         ('https://host49.example/p109/pc80/pad0.html', 7),
+         ('https://host49.example/p29b/pa4b/pc9a.html', 9),
+         ('https://host49.example/pa47.html', 13),
+         ('https://host49.example/pc7d/pb09/pa1b/pcba.html', 11),
+         ('https://host49.example/pd65/p794.html', 11),
+         ('https://host5.example/p115/pe9f/p505.html', 11),
+         ('https://host5.example/p127.html', 13),
+         ('https://host5.example/p137/p18/pd59.html', 13),
+         ('https://host5.example/p148/p62e/p5e0/p318.html', 6),
+         ('https://host5.example/p2a6.html', 11),
+         ('https://host5.example/p2f1/pfa4/p873/p8e5.html', 7),
+         ('https://host5.example/p40d/p8a8.html', 11),
+         ('https://host5.example/p4ae/p229/p179/pad0.html', 12),
+         ('https://host5.example/p53b/pa2e/pfdd.html', 8),
+         ('https://host5.example/p904/pbba/pdbc/p9be.html', 10),
+         ('https://host5.example/pe8.html', 6),
+         ('https://host50.example/p1d5.html', 11),
+         ('https://host50.example/pa5d.html', 11),
+         ('https://host51.example/p1f5/p228/pb6c.html', 10),
+         ('https://host51.example/p9be/p9f0/p26e.html', 12),
+         ('https://host51.example/pc01/pf15/pc4e.html', 6),
+         ('https://host51.example/pe0a/p5c7.html', 8),
+         ('https://host51.example/pe1b/p3d.html', 9),
+         ('https://host52.example/p4f0.html', 6),
+         ('https://host52.example/p636/p9d.html', 12),
+         ('https://host52.example/p949/p3d8.html', 7),
+         ('https://host53.example/pb29/pdee/p50.html', 7),
+         ('https://host54.example/p12f/p991.html', 13),
+         ('https://host54.example/p543/p6de.html', 9),
+         ('https://host54.example/p59c/p5af/p4f0.html', 10),
+         ('https://host54.example/p5e0/pb72/p148/p358.html', 6),
+         ('https://host55.example/p52f/pa47/p5b2/pc81.html', 13),
+         ('https://host55.example/p8c3/pcfb/p316/p505.html', 9),
+         ('https://host55.example/p907/peb0/peec/p401.html', 13),
+         ('https://host55.example/pc80/p109/p22b/p185.html', 6),
+         ('https://host55.example/pf6c/pe3a/pb6c/p231.html', 10),
+         ('https://host56.example/pdc.html', 10),
+         ('https://host57.example/p35a/p0.html', 8),
+         ('https://host57.example/p490/p505/pe9f.html', 6),
+         ('https://host57.example/pcef/p13e/p51.html', 13),
+         ('https://host58.example/p384.html', 9),
+         ('https://host58.example/p439.html', 7),
+         ('https://host58.example/p769/p1fb/p404.html', 7),
+         ('https://host58.example/p873/pd7.html', 9),
+         ('https://host58.example/p9b5.html', 11),
+         ('https://host58.example/pa2c.html', 10),
+         ('https://host58.example/pf73/p782.html', 9),
+         ('https://host58.example/pfae/p3a8/p333/p523.html', 12),
+         ('https://host6.example/p12b/p936/pb52/pf73.html', 9),
+         ('https://host6.example/p22b.html', 9),
+         ('https://host6.example/p3db/pec0/p384.html', 8),
+         ('https://host6.example/p480.html', 6),
+         ('https://host6.example/p538/pa1.html', 6),
+         ('https://host6.example/p7f8/p85b.html', 6),
+         ('https://host6.example/p845.html', 10),
+         ('https://host6.example/pf03/p5.html', 9),
+         ('https://host60.example/pb7d/peae/p543/p8d7.html', 11),
+         ('https://host60.example/pcba/p305/p36/pc7d.html', 8),
+         ('https://host60.example/pe5b/p215/p117/p12f.html', 9),
+         ('https://host60.example/pf61/pf69/p538/p9d9.html', 6),
+         ('https://host61.example/p3d8/pe14.html', 6),
+         ('https://host61.example/p647/p517/p979/pf00.html', 13),
+         ('https://host61.example/p68a/pe44.html', 8),
+         ('https://host61.example/p6b1/p759.html', 7),
+         ('https://host61.example/p9a1/pc34/pa8a/pdee.html', 7),
+         ('https://host61.example/pc4e/pfb4/pc01/p9ea.html', 10),
+         ('https://host62.example/p2b.html', 9),
+         ('https://host62.example/p401/p5b.html', 7),
+         ('https://host62.example/p666/pe15.html', 12),
+         ('https://host63.example/p1dc/p51.html', 10),
+         ('https://host64.example/p18.html', 6),
+         ('https://host64.example/p4e6/p768/pfdb.html', 12),
+         ('https://host64.example/p81.html', 7),
+         ('https://host64.example/p958.html', 5),
+         ('https://host64.example/pd57/pba8/pde4.html', 13),
+         ('https://host64.example/pdb1/pd15/pbe3.html', 7),
+         ('https://host64.example/pe7a/pd44.html', 8),
+         ('https://host64.example/pfa4/p2f1/pd7.html', 10),
+         ('https://host65.example/pc5a/p439/p9c3/pd65.html', 8),
+         ('https://host66.example/p121.html', 7),
+         ('https://host66.example/p2bd.html', 11),
+         ('https://host66.example/p3cc/p5c9/pdbf.html', 10),
+         ('https://host66.example/p501.html', 7),
+         ('https://host66.example/p52.html', 8),
+         ('https://host66.example/pa1b/peec/peb0.html', 9),
+         ('https://host66.example/pda4/p724/p53f.html', 10),
+         ('https://host67.example/p1d6/p18c.html', 12),
+         ('https://host67.example/p3a8.html', 6),
+         ('https://host67.example/p51.html', 7),
+         ('https://host67.example/p946.html', 11),
+         ('https://host68.example/p4a8/p480.html', 6),
+         ('https://host68.example/pe24/p94f.html', 10),
+         ('https://host69.example/p2c9/p666/p898.html', 7),
+         ('https://host69.example/p606/p9d9/p60c/pf69.html', 11),
+         ('https://host69.example/p7e7/p5a4/pa32.html', 13),
+         ('https://host69.example/pa2e/p53b/p961/p100.html', 11),
+         ('https://host69.example/paca/pdd7/p0/pcc1.html', 8),
+         ('https://host69.example/ped8/pa07/pa5d/p66f.html', 6),
+         ('https://host7.example/p193/pb92.html', 9),
+         ('https://host7.example/p222.html', 8),
+         ('https://host7.example/p228/p1f5/pacf/p3f7.html', 5),
+         ('https://host7.example/p230/p940.html', 6),
+         ('https://host7.example/p251/p2a6.html', 6),
+         ('https://host7.example/p49a/p50.html', 8),
+         ('https://host7.example/pa1/p538/pf69.html', 6),
+         ('https://host7.example/pcde/p946/p385/pbe5.html', 11),
+         ('https://host70.example/p5d7/pfc5/p11f.html', 13),
+         ('https://host70.example/pbea/p631.html', 8),
+         ('https://host71.example/p94f/pe24/p2b5/p9f4.html', 13),
+         ('https://host72.example/p349.html', 7),
+         ('https://host72.example/pa32/p480/p7e7/p666.html', 8),
+         ('https://host72.example/pcb5/p4c7/p9f9/pbb4.html', 11),
+         ('https://host72.example/pe7a/p36c/p359/p1f4.html', 8),
+         ('https://host73.example/p403.html', 9),
+         ('https://host73.example/p76f/p78c.html', 13),
+         ('https://host73.example/p967.html', 13),
+         ('https://host74.example/p3d8/p949/pbb4/p9f9.html', 6),
+         ('https://host74.example/p4cd/pbb4.html', 11),
+         ('https://host74.example/p762/pb52/p35d.html', 8),
+         ('https://host74.example/p936/p12b/pc74.html', 12),
+         ('https://host74.example/pc74.html', 10),
+         ('https://host75.example/p23e/pc17/p330/pb8d.html', 12),
+         ('https://host76.example/p15d.html', 10),
+         ('https://host77.example/p1c4/p2bd/pf5.html', 10),
+         ('https://host77.example/p5af/p59c/pf81/pef7.html', 13),
+         ('https://host78.example/p18d/pdd3/p73a/p962.html', 11),
+         ('https://host78.example/p375.html', 10),
+         ('https://host78.example/p9f9/p46/pcb5.html', 7),
+         ('https://host79.example/pa28/p6ff/pd65/p9c3.html', 6),
+         ('https://host8.example/p333/p5f4.html', 9),
+         ('https://host8.example/p453/pb85/p7/p949.html', 9),
+         ('https://host8.example/p75b/p6be/pde3/pea1.html', 9),
+         ('https://host8.example/pa06.html', 12),
+         ('https://host8.example/pa07/ped8.html', 13),
+         ('https://host8.example/pa68/pa1b.html', 6),
+         ('https://host8.example/pd63/p845/pf3.html', 8),
+         ('https://host8.example/pdaf.html', 13),
+         ('https://host8.example/pdbf/pd3.html', 13),
+         ('https://host80.example/p10e/p878/pc8/pe14.html', 12),
+         ('https://host80.example/p1e.html', 12),
+         ('https://host80.example/p7a4/pc9a/pa4b/p49c.html', 10),
+         ('https://host80.example/p991/p12f.html', 7),
+         ('https://host81.example/p6f7.html', 13),
+         ('https://host82.example/p480/pa32/p5a4.html', 6),
+         ('https://host82.example/p7f2/pe83/p8e8/p543.html', 8),
+         ('https://host82.example/p97f/p969/p4a8.html', 13),
+         ('https://host82.example/p9ad/p11f/pfc5.html', 11),
+         ('https://host83.example/p759/p6b1/pcc3/paaf.html', 7),
+         ('https://host83.example/pd1d.html', 11),
+         ('https://host83.example/pe83/p7f2/p59e.html', 9),
+         ('https://host83.example/pf88/p112/p949.html', 6),
+         ('https://host86.example/p631/pbea.html', 7),
+         ('https://host86.example/pa9e/p501.html', 12),
+         ('https://host86.example/pb6c/p91.html', 10),
+         ('https://host87.example/p4a/p31c.html', 7),
+         ('https://host87.example/p506.html', 12),
+         ('https://host87.example/p59e/p8e8/pe83/p9d0.html', 12),
+         ('https://host87.example/pa12/p1e1/pdd0.html', 8),
+         ('https://host87.example/pacf/pb6c/p228.html', 12),
+         ('https://host88.example/pb1e.html', 12),
+         ('https://host88.example/pfdd/p961/p53b.html', 10),
+         ('https://host89.example/pbe3.html', 9),
+         ('https://host89.example/pd67/p4c7.html', 13),
+         ('https://host9.example/p31c/p4a/pf76/p4cb.html', 9),
+         ('https://host9.example/p46c.html', 10),
+         ('https://host9.example/p523/pdc7/p50b/pfae.html', 9),
+         ('https://host9.example/p93d/p951/p94e/p35d.html', 11),
+         ('https://host9.example/p93f/p450/pd4/p34c.html', 13),
+         ('https://host9.example/p9ed/pcba/p602/p144.html', 11),
+         ('https://host9.example/pbba/p904.html', 8),
+         ('https://host9.example/pfc5/p5d7.html', 11),
+         ('https://host91.example/p961/pfdd.html', 6),
+         ('https://host92.example/p392/pbba/p3d8.html', 8),
+         ('https://host92.example/p74/p8e5/p5bf.html', 10),
+         ('https://host92.example/pb1a/p60c.html', 7),
+         ('https://host93.example/pb72.html', 8),
+         ('https://host95.example/p91.html', 7),
+         ('https://host95.example/p91f/p1bf/p9f4.html', 13),
+         ('https://host95.example/pd7e/p132/p3d1.html', 12),
+         ('https://host95.example/pdd3/p18d/p3db/p1a1.html', 9),
+         ('https://host96.example/p544.html', 10),
+         ('https://host96.example/p72f/pa59/p1a2/p137.html', 13),
+         ('https://host97.example/p316/p4d6/p8c3/p115.html', 12),
+         ('https://host97.example/p363.html', 9),
+         ('https://host97.example/p50/p49a/pb29/pd3.html', 6),
+         ('https://host97.example/p613/p827/p314.html', 9),
+         ('https://host98.example/p1a1/p962.html', 7),
+         ('https://host98.example/p385/p65c/pcde/p1fb.html', 10),
+         ('https://host98.example/p6f/p5bf/p8e5/p873.html', 13),
+         ('https://host99.example/p181.html', 7),
+         ('https://host99.example/p5bc/p358.html', 10),
+         ('https://host99.example/pfed/pdaf.html', 11),
+         ('https://host99.example/pfee/p26e/p9f0/p10c.html', 12)) AS t(url, n_links)""")
 }

@@ -142,17 +142,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding cosine near-dup via random-hyperplane LSH: `planes` seeded
-    * hyperplanes -> sign bits -> bucket join -> exact cosine verify. */
+  /** Embedding cosine near-dup via MULTI-BAND random-hyperplane LSH:
+    * `bands` independent signatures of `planesPerBand` sign bits each; a
+    * pair is a candidate if it collides in ANY band (posexplode + band
+    * bucket join, the same shape as MinHash banding). A single wide
+    * signature requires ALL bits to agree — P(all planes)^1 — so recall
+    * collapses near the threshold; banding lifts it to
+    * 1-(1-p^planesPerBand)^bands while each band join stays a cheap
+    * equality shuffle. Candidates are exact-cosine verified. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, planes: Int = 16,
+                        threshold: Double = 0.95, bands: Int = 8,
+                        planesPerBand: Int = 4,
                         dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes, dim, seed)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("sig"))
-    val a = sigs.toDF("id_a", "v_a", "sig")
-    val b = sigs.toDF("id_b", "v_b", "sig")
-    a.join(b, Seq("sig"))
+    val bandCols = (0 until bands).map { b =>
+      // distinct planes per band: seed offset by band index
+      Similarity.hyperplaneSignature(col(vecCol), planesPerBand, dim,
+        seed + 0x51ED2701L * (b + 1))
+    }
+    // band join + pair-dedup on (id_a, id_b) ONLY — the distinct's shuffle
+    // key is two longs, never the embedding arrays; vectors re-attach to
+    // the (small) surviving candidate set by two hash joins
+    val banded = df.select(col(idCol).as("id"),
+      posexplode(array(bandCols: _*))).toDF("id", "band", "bucket")
+    val pairs = banded.toDF("id_a", "band", "bucket")
+      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(v.toDF("id_a", "v_a"), Seq("id_a"))
+      .join(v.toDF("id_b", "v_b"), Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -80,7 +80,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, vec(2)), (3L, vec(3)), (4L, vec(4)))
     val df = rows.toDF("vec_id", "embedding")
     val dups = Dedup.embeddingNearDups(df, "vec_id", "embedding",
-      threshold = 0.999, planes = 6, dim = dim)
+      threshold = 0.999, bands = 4, planesPerBand = 3, dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dups.contains((0L, 1L)))
 

@@ -162,18 +162,28 @@ object SparkEntry {
       // low-threshold banding (16 bands x 2 rows) casts a wide candidate net
       val docs = s.read.parquet(t(d, "documents"))
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        shingleK = 3, bands = 16, rowsPerBand = 2)
+        shingleK = 3, bands = 8, rowsPerBand = 2)
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
         .agg(count(lit(1)).as("pairs"), round(sum(col("jaccard")), 4).as("sum_jaccard"))
     }),
-    "dedup_embedding" -> ((s, d) =>
-      // the synthetic embeddings have no planted near-identical pairs (max
-      // cosine ~0.5 at sf0.01), so the demo threshold sits where real
-      // neighbors exist; multi-band LSH keeps recall up near the threshold
-      Dedup.embeddingNearDups(s.read.parquet(t(d, "embeddings")), "vec_id", "embedding",
-        threshold = 0.45, bands = 8, planesPerBand = 4)
+    "dedup_embedding" -> ((s, d) => {
+      // the synthetic embeddings carry no near-identical pairs (max cosine
+      // ~0.5), so the near-dup demo plants them: every 50th vector gets a
+      // twin under scale-free multiplicative noise (cosine ~0.9999), and
+      // the operator must find the planted pairs at a realistic 0.99
+      // threshold. 16-bit bands keep non-dup bucket collisions ~zero, so
+      // candidate count ~= planted count — the 100-TB shape.
+      val emb = s.read.parquet(t(d, "embeddings")).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0f) + lit(0.002f) * (pmod(i, lit(7)) - lit(3)).cast("float")))
+            .as("embedding"))
+      Dedup.embeddingNearDups(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.99, bands = 8, planesPerBand = 16)
         .agg(count(lit(1)).as("pairs"),
-             coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))),
+             coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))
+    }),
 
     // ---- similarity search ---------------------------------------------------
     "ann_brute_topk" -> ((s, d) => {
@@ -404,7 +414,7 @@ object SparkEntry {
     // tools/gen_oracles.py from a graft.Verify dump and cross-checked by
     // tools/check_oracles.py (which replays the driver's compare).
     "dedup_embedding" ->
-      """SELECT * FROM (VALUES (CAST(14 AS BIGINT), CAST('0.4691' AS DOUBLE))) AS t(pairs, avg_cosine)""",
+      """SELECT * FROM (VALUES (CAST(10 AS BIGINT), CAST('1.0' AS DOUBLE))) AS t(pairs, avg_cosine)""",
     "ann_brute_topk" ->
       """SELECT * FROM (VALUES (CAST(365 AS BIGINT), CAST('0.37' AS DOUBLE)),
          (334, CAST('0.3627' AS DOUBLE)),
@@ -429,7 +439,7 @@ object SparkEntry {
     "dedup_minhash" ->
       """SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST('0.9709' AS DOUBLE))) AS t(pairs, avg_jaccard)""",
     "dedup_ngram_jaccard" ->
-      """SELECT * FROM (VALUES (CAST(45 AS BIGINT), CAST('24.5947' AS DOUBLE))) AS t(pairs, sum_jaccard)""",
+      """SELECT * FROM (VALUES (CAST(29 AS BIGINT), CAST('24.3769' AS DOUBLE))) AS t(pairs, sum_jaccard)""",
     "dedup_simhash" ->
       """SELECT * FROM (VALUES (CAST(17 AS BIGINT), CAST('1.7059' AS DOUBLE))) AS t(pairs, avg_hamming)""",
     "extract_html_parity" ->

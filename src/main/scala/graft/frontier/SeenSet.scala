@@ -173,11 +173,17 @@ object SeenSet {
     val cached = marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = cached.filter(!_._2).map(_._1)
     val maybe = cached.filter(_._2).map(_._1)
-    val hotBuckets = maybe.map(c => bucketOfUrl(c.url, cfg.numBuckets)).distinct().collect()
-    val prunedSeen =
+    // partition-pruning the seen read needs a driver round-trip (collect of
+    // the hot bucket ids) that forces the cogroup early — worth one extra
+    // job only when there are enough buckets for the prune to skip real
+    // I/O (the 10^10 sizing uses 4096; tests/bench use 8-32 where every
+    // bucket is hot anyway)
+    val prunedSeen = if (cfg.numBuckets > 64) {
+      val hotBuckets = maybe.map(c => bucketOfUrl(c.url, cfg.numBuckets)).distinct().collect()
       if (hotBuckets.length < cfg.numBuckets)
         seen.filter(col("bucket").isin(hotBuckets.map(Integer.valueOf).toIndexedSeq: _*))
       else seen
+    } else seen
     val survived = maybe.join(prunedSeen.select(col("url")), Seq("url"), "left_anti").as[Candidate]
     definitelyNew.unionByName(survived)
   }

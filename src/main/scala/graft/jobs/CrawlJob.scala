@@ -264,41 +264,61 @@ object CrawlJob {
       phase(s"write-$name")
       name -> p
     }
-    val seenPaths = {
-      val deltaPath = store.writeTable("seen", epoch, seenDelta)
-      phase("write-seen-delta")
-      snap.tables("seen") + ";" + deltaPath
-    }
-    // blooms are ALSO append-only delta segments (each sized to its actual
-    // insert count); every maxBloomSegments epochs a major compaction
-    // rebuilds full-capacity filters from the seen table — bounding both
-    // the per-bucket segment-union fpp and the read fan-in, at an
-    // amortized 1/maxBloomSegments of a full seen pass per epoch.
-    val bloomsEntry: (String, String) = {
-      val oldSegs = snap.tables("blooms")
-      if (oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments) {
-        val allSeen = spark.read.parquet(seenPaths.split(";").toIndexedSeq: _*)
-        val full = SeenSet.buildBlooms(spark, allSeen.select("url").as[String], cfg.seen)
-        val p = store.writeTable("blooms", epoch, full.toDF())
-        phase("write-blooms-compact")
-        "blooms" -> p
-      } else {
-        val delta = SeenSet.buildDeltaBlooms(spark, newlySeen, cfg.seen)
-        val p = store.writeTable("blooms", epoch, delta.toDF())
-        phase("write-blooms-delta")
-        "blooms" -> (oldSegs + ";" + p)
+    // First write materializes the whole epoch graph into the persisted
+    // caches (scheduledSeq <- dequeue <- gate <- fused dedup; extracted <-
+    // fetch join). The five remaining writes then read only cached data —
+    // they are independent, so they run CONCURRENTLY (Spark schedules
+    // concurrent jobs fine; on a cluster this overlaps commit latencies
+    // the same way). This cut the per-epoch serial write tail, the
+    // dominant fixed cost at sandbox epoch sizes.
+    val extractedEntry = timedWrite("extracted",
+      extracted.select("epoch", "seq", "url", "extracted_html", "text"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val tables = try {
+      val fFrontier = Future {
+        // coalesce: the union graph otherwise carries every upstream
+        // partition into the write (160 tiny files per epoch at local[32])
+        "frontier" -> store.writeTable("frontier", epoch,
+          nextFrontier.toDF().coalesce(cfg.shufflePartitions))
       }
-    }
-    val tables = Map(
-      timedWrite("extracted",
-        extracted.select("epoch", "seq", "url", "extracted_html", "text")),
-      // coalesce: the union graph otherwise carries every upstream
-      // partition into the write (160 tiny files per epoch at local[32])
-      timedWrite("frontier", nextFrontier.toDF().coalesce(cfg.shufflePartitions)),
-      "seen" -> seenPaths,
-      bloomsEntry,
-      timedWrite("scheduled", scheduledSeq.toDF()),
-      timedWrite("lineage", lineage.toDF()))
+      val fScheduled = Future {
+        "scheduled" -> store.writeTable("scheduled", epoch, scheduledSeq.toDF())
+      }
+      val fLineage = Future {
+        "lineage" -> store.writeTable("lineage", epoch, lineage.toDF())
+      }
+      // seen delta must land before a bloom compaction can read it
+      val fSeenBlooms = Future {
+        val deltaPath = store.writeTable("seen", epoch, seenDelta)
+        val seenPaths = snap.tables("seen") + ";" + deltaPath
+        // blooms are ALSO append-only delta segments (each sized to its
+        // actual insert count); every maxBloomSegments epochs a major
+        // compaction rebuilds full-capacity filters from the seen table —
+        // bounding both the per-bucket segment-union fpp and the read
+        // fan-in, at an amortized 1/maxBloomSegments of a full seen pass
+        // per epoch.
+        val oldSegs = snap.tables("blooms")
+        val bloomsEntry: (String, String) =
+          if (oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments) {
+            val allSeen = spark.read.parquet(seenPaths.split(";").toIndexedSeq: _*)
+            val full = SeenSet.buildBlooms(spark, allSeen.select("url").as[String], cfg.seen)
+            "blooms" -> store.writeTable("blooms", epoch, full.toDF())
+          } else {
+            val delta = SeenSet.buildDeltaBlooms(spark, newlySeen, cfg.seen)
+            "blooms" -> (oldSegs + ";" + store.writeTable("blooms", epoch, delta.toDF()))
+          }
+        Seq("seen" -> seenPaths, bloomsEntry)
+      }
+      val entries = Seq(extractedEntry, Await.result(fFrontier, Duration.Inf),
+        Await.result(fScheduled, Duration.Inf), Await.result(fLineage, Duration.Inf)) ++
+        Await.result(fSeenBlooms, Duration.Inf)
+      phase("write-rest-parallel")
+      entries.toMap
+    } finally pool.shutdown()
 
     def metric(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get.get(k).map(v => if (v == null) 0L else v.asInstanceOf[Long]).getOrElse(0L)

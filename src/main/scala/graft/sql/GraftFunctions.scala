@@ -111,6 +111,9 @@ object GraftFunctions {
   /** Register all operators in the session FunctionRegistry for SQL use. */
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
+    // idempotent per session: re-registering logs a replaced-function WARN
+    // per function per call (queries call this defensively)
+    if (fr.functionExists(FunctionIdentifier(registry.head._1))) return
     for ((name, builder) <- registry) {
       fr.registerFunction(
         FunctionIdentifier(name),

@@ -41,12 +41,29 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signatures as (id, sig array<long>): one explode + one
-    * hash-aggregate (map-side combine) — NOT a nested array expression per
-    * seed, which re-evaluates the shingle set numHashes times. Scales as a
-    * single shuffle keyed by id. */
+  private def bridge(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
+  /** Distinct k-shingle hashes as a column (one-pass custom expression). */
+  def shingleHashes(text: Column, k: Int): Column =
+    bridge(graft.sql.ShingleHashesExpr(bridge(text), k))
+
+  /** MinHash signatures as (id, sig array<long>): ONE expression pass per
+    * document — no shingle rows materialize or shuffle, no per-seed
+    * aggregate columns. Hash-exact vs [[minhashSignaturesAgg]]
+    * (differential-tested), so LSH buckets are unchanged. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int, numHashes: Int): DataFrame = {
+                        shingleK: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      bridge(graft.sql.MinhashSigsExpr(bridge(col(textCol)), shingleK, numHashes)).as("sig"))
+
+  /** The explode + hash-aggregate formulation (map-side combine, one
+    * shuffle keyed by id). Kept as the differential reference for
+    * [[minhashSignatures]]; same results, ~5x the cost. */
+  private[pipeline] def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
+                                             shingleK: Int, numHashes: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleK))).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
@@ -79,11 +96,12 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for given pairs (verification stage).
-    * pairs: (id_a, id_b); returns pairs + jaccard. */
+    * pairs: (id_a, id_b); returns pairs + jaccard. Shingle sets travel as
+    * 8-byte hash arrays, not strings — intersection/union sizes are equal
+    * modulo 64-bit collisions, and the join payload shrinks ~4x. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, n: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
     pairs
       .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
@@ -102,10 +120,18 @@ object Dedup {
     ngramJaccard(df, pairs, idCol, textCol, shingleK).filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash signatures as (id, sig): explode tokens once, then one
-    * hash-aggregate with 64 per-bit vote sums (map-side combine) — avoids
-    * 64 redundant array traversals per row. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash signatures as (id, sig): ONE expression pass per
+    * document (term-frequency-weighted bit votes over token hashes).
+    * Hash-exact vs [[simhashSignaturesAgg]] for non-empty documents; an
+    * all-whitespace document gets sig 0 here (the aggregate formulation
+    * dropped it — no token rows to group). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      bridge(graft.sql.SimhashSigExpr(bridge(col(textCol)))).as("sig"))
+
+  /** Explode + 64-vote aggregate formulation, kept as the differential
+    * reference for [[simhashSignatures]]. */
+  private[pipeline] def simhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))

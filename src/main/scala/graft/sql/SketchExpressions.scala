@@ -1,0 +1,160 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-sketch expressions for the dedup family.
+  *
+  * These replace explode(shingles)->hash-aggregate column pipelines with a
+  * single expression evaluation per document: no shingle-string rows ever
+  * materialize or shuffle, and the hot loop runs on the document's raw
+  * UTF-8 bytes. The hash math replicates the column formulation EXACTLY —
+  * tokenize `\S+` (ASCII whitespace, Java regex semantics) over
+  * `lower(text)`, shingle = tokens joined by one space, `xxhash64` (seed
+  * 42) over the shingle's UTF-8 bytes, per-seed mins over
+  * `xxhash64(h ^ seed_i)` — so signatures, LSH buckets and oracles are
+  * unchanged vs the aggregate pipeline (differential-tested in
+  * PipelineSpec).
+  */
+object SketchOps {
+
+  /** ASCII whitespace per Java regex \s (multi-byte UTF-8 sequences never
+    * contain ASCII bytes, so byte-level scanning is exact). */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Token [start, end) offsets in `b`, flattened as pairs. */
+  def tokenRanges(b: Array[Byte]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      while (i < n && isWs(b(i))) i += 1
+      val start = i
+      while (i < n && !isWs(b(i))) i += 1
+      if (i > start) { out += start; out += i }
+    }
+    out.toArray
+  }
+
+  private def hashBytes(b: Array[Byte], len: Int): Long =
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+
+  /** Distinct shingle hashes (first-occurrence order): k-token shingles
+    * joined by ' ', or ONE shingle of all tokens when fewer than k —
+    * exactly Dedup.shingles + array_distinct + xxhash64. */
+  def shingleHashes(bytes: Array[Byte], k: Int): Array[Long] = {
+    val r = tokenRanges(bytes)
+    val nTok = r.length / 2
+    val buf = new Array[Byte](bytes.length + nTok) // upper bound incl. separators
+    def shingleHash(from: Int, count: Int): Long = {
+      var len = 0
+      var t = from
+      val end = from + count
+      while (t < end) {
+        if (t > from) { buf(len) = ' '; len += 1 }
+        val s = r(2 * t); val e = r(2 * t + 1)
+        System.arraycopy(bytes, s, buf, len, e - s)
+        len += e - s
+        t += 1
+      }
+      hashBytes(buf, len)
+    }
+    if (nTok < k) Array(shingleHash(0, nTok))
+    else {
+      val seen = new java.util.HashSet[java.lang.Long](nTok * 2)
+      val out = new scala.collection.mutable.ArrayBuffer[Long](nTok - k + 1)
+      var i = 0
+      while (i <= nTok - k) {
+        val h = shingleHash(i, k)
+        if (seen.add(h)) out += h
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** MinHash signature: per seed i, min over distinct shingles of
+    * xxhash64(h ^ seed_i) — seed_i = golden-ratio multiples, as in the
+    * aggregate formulation. */
+  def minhashSig(bytes: Array[Byte], k: Int, numHashes: Int): Array[Long] = {
+    val hs = shingleHashes(bytes, k)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < numHashes) {
+        val m = XXH64.hashLong(h ^ (0x9E3779B97F4A7C15L * (i + 1)), 42L)
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** SimHash: per-token (NOT distinct — term frequency weighs votes, as in
+    * the explode formulation) xxhash64, 64 bit votes, sign bits. */
+  def simhashSig(bytes: Array[Byte]): Long = {
+    val r = tokenRanges(bytes)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < r.length) {
+      val s = r(t); val e = r(t + 1)
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 2
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
+sealed trait TextSketchExpr extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (string)")
+  protected final def lowerBytes(v: Any): Array[Byte] =
+    v.asInstanceOf[UTF8String].toLowerCase.getBytes
+}
+
+/** minhash_sigs(text) -> array<long> of `numHashes` minima. */
+case class MinhashSigsExpr(child: Expression, shingleK: Int, numHashes: Int)
+    extends TextSketchExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(SketchOps.minhashSig(lowerBytes(v), shingleK, numHashes))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** shingle_hashes(text) -> array<long> distinct k-shingle hashes. */
+case class ShingleHashesExpr(child: Expression, shingleK: Int)
+    extends TextSketchExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(SketchOps.shingleHashes(lowerBytes(v), shingleK))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** simhash64(text) -> long. */
+case class SimhashSigExpr(child: Expression) extends TextSketchExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    SketchOps.simhashSig(lowerBytes(v))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

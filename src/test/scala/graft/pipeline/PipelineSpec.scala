@@ -49,6 +49,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc matched")
   }
 
+  test("sketch expressions are hash-exact vs the aggregate formulations") {
+    import spark.implicits._
+    // varied content incl. unicode, repeated tokens, punctuation, edge docs
+    val texts = Seq(
+      base, base.replace("sentence7", "sentence999"),
+      "a b c d e f g", "one", "", "  \t\n ", "x " * 40,
+      "MiXeD CaSe ÄÖÜ unicode tōkens €uro",
+      (1 to 200).map(i => s"w${i % 23}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // minhash: expression == explode+agg, per id, all 24 minima
+    val fast = Dedup.minhashSignatures(df, "doc_id", "text", 3, 24)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ref = Dedup.minhashSignaturesAgg(df, "doc_id", "text", 3, 24)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ref.keySet.subsetOf(fast.keySet))
+    for ((id, sig) <- ref) assert(fast(id) == sig, s"minhash sig mismatch doc $id")
+    // simhash: equal wherever the agg formulation produces a row (it drops
+    // token-less docs; the expression gives them sig 0)
+    val fastSim = Dedup.simhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refSim = Dedup.simhashSignaturesAgg(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, sig) <- refSim) assert(fastSim(id) == sig, s"simhash sig mismatch doc $id")
+    assert(fastSim(4L) == 0L && fastSim(5L) == 0L, "token-less docs -> sig 0")
+    // hyperplane signature: expression == HOF-column formulation
+    val dim = 16
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, (0 until dim).map(j => math.sin(i * 17 + j * 3).toFloat))).toDF("vec_id", "embedding")
+    val fastH = vecs.select(col("vec_id"),
+        Similarity.hyperplaneSignature(col("embedding"), 12, dim, 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refH = vecs.select(col("vec_id"),
+        Similarity.hyperplaneSignatureHof(col("embedding"), 12, dim, 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastH == refH, "hyperplane signature mismatch vs HOF formulation")
+  }
+
   test("simhash: identical docs at hamming 0; near docs small hamming") {
     val near = base.replace("sentence7", "sentence999")
     val df = docs(1L -> base, 2L -> base, 3L -> near)

@@ -158,3 +158,99 @@ case class SimhashSigExpr(child: Expression) extends TextSketchExpr {
     SketchOps.simhashSig(lowerBytes(v))
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** text_stats(text) -> struct of every counter the TextStats family needs,
+  * computed in ONE code-point scan instead of ~10 regex passes per
+  * document (JDK Pattern's char-class eval dominated the text queries).
+  * Replicates the Java-regex semantics of the column formulations exactly
+  * (differential-tested in PipelineSpec):
+  *  - chars: code points (= Spark `length`)
+  *  - nonspace: code points not in regex \s (ASCII whitespace)
+  *  - tokens: \S+ runs
+  *  - bpeish: [A-Za-z]+ runs + [0-9] singles + other non-ws singles
+  *  - punct: chars in [!-/:-@[-`{-~] (ASCII punctuation blocks)
+  *  - hits_{en,de,fr,es}: case-insensitive whole-\w-word stopword matches
+  *    ((?i)\b(w1|w2|...)\b counts exactly the \w-runs equal to a list word)
+  */
+case class TextStatsExpr(child: Expression) extends TextSketchExpr {
+  import TextStatsExpr._
+  override def dataType: DataType = schema
+  override def prettyName: String = "text_stats"
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var chars = 0; var nonspace = 0; var tokens = 0; var bpeish = 0; var punct = 0
+    val hits = new Array[Int](4)
+    var inTok = false
+    var runStart = -1 // current \w-run start (char index), -1 if none
+    val sb = new java.lang.StringBuilder(8)
+    def endRun(): Unit = if (runStart >= 0) {
+      if (sb.length <= maxStopLen) {
+        val m = stopMask.get(sb.toString)
+        if (m != null) {
+          val mask = m.intValue()
+          var l = 0
+          while (l < 4) { if ((mask & (1 << l)) != 0) hits(l) += 1; l += 1 }
+        }
+      }
+      runStart = -1; sb.setLength(0)
+    }
+    var i = 0
+    val n = s.length
+    var prevLetter = false
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      chars += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      if (!ws) nonspace += 1
+      if (!ws && !inTok) { tokens += 1; inTok = true } else if (ws) inTok = false
+      val letter = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+      val digit = cp >= '0' && cp <= '9'
+      // bpeish: letter runs count once; digits and other non-ws singly
+      if (letter) { if (!prevLetter) bpeish += 1 }
+      else if (digit || !ws) bpeish += 1
+      prevLetter = letter
+      if (cp < 0x7f && cp > 0x20 && !letter && !digit) punct += 1
+      // \w-run tracking for stopword hits (ASCII \w = [A-Za-z0-9_])
+      if (letter || digit || cp == '_') {
+        if (runStart < 0) runStart = i
+        if (sb.length <= maxStopLen)
+          sb.append(if (cp >= 'A' && cp <= 'Z') (cp + 32).toChar else cp.toChar)
+      } else endRun()
+      i += w
+    }
+    endRun()
+    org.apache.spark.sql.catalyst.InternalRow(
+      chars, nonspace, tokens, bpeish, punct, hits(0), hits(1), hits(2), hits(3))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TextStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("chars", IntegerType, nullable = false),
+    StructField("nonspace", IntegerType, nullable = false),
+    StructField("tokens", IntegerType, nullable = false),
+    StructField("bpeish", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("hits_en", IntegerType, nullable = false),
+    StructField("hits_de", IntegerType, nullable = false),
+    StructField("hits_fr", IntegerType, nullable = false),
+    StructField("hits_es", IntegerType, nullable = false)))
+
+  val stopwordsEn = Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for")
+  val stopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+  val stopwordsFr = Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour")
+  val stopwordsEs = Seq("el", "la", "los", "y", "es", "una", "del", "en", "que", "por")
+
+  private val stopMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    for ((ws, l) <- Seq(stopwordsEn, stopwordsDe, stopwordsFr, stopwordsEs).zipWithIndex; w <- ws)
+      m.merge(w, Integer.valueOf(1 << l), (a, b) => Integer.valueOf(a | b))
+    m
+  }
+  private val maxStopLen: Int = {
+    import scala.jdk.CollectionConverters._
+    stopMask.keySet().asScala.map(_.length).max
+  }
+}

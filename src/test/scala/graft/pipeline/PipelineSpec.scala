@@ -86,6 +86,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fastH == refH, "hyperplane signature mismatch vs HOF formulation")
   }
 
+  test("fused text_stats scan is exact vs the regex formulations") {
+    import spark.implicits._
+    val texts = Seq(
+      base, "", "   ", "one", "The of AND to In; that's it!",
+      "der und die das ist", "le la les et est", "el la los y es",
+      "punct!!! ???,,, ... ::: ~~~", "a1b2c3 x_y the_of 123 9",
+      "ÄÖÜ unicode tōkens €uro the of", "Die the le el und of")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def gather(c: org.apache.spark.sql.Column) =
+      df.select(col("doc_id"), c.as("v")).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(gather(TextStats.tokenCount(col("text"))) == gather(TextStats.tokenCountRegex(col("text"))), "tokens")
+    assert(gather(TextStats.bpeishCount(col("text"))) == gather(TextStats.bpeishCountRegex(col("text"))), "bpeish")
+    assert(gather(TextStats.punctRatio(col("text"))) == gather(TextStats.punctRatioRegex(col("text"))), "punct")
+    assert(gather(TextStats.meanWordLen(col("text"))) == gather(TextStats.meanWordLenRegex(col("text"))), "mwl")
+    for ((words, i) <- TextStats.stopwordsByLang.zipWithIndex) {
+      val field = Seq("hits_en", "hits_de", "hits_fr", "hits_es")(i)
+      assert(gather(TextStats.stats(col("text")).getField(field)) ==
+        gather(TextStats.stopwordHitsRegex(col("text"), words)), field)
+    }
+  }
+
   test("simhash: identical docs at hamming 0; near docs small hamming") {
     val near = base.replace("sentence7", "sentence999")
     val df = docs(1L -> base, 2L -> base, 3L -> near)

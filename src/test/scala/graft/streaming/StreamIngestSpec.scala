@@ -44,4 +44,57 @@ class StreamIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
         .contains("https://h.example/next.html"))
     } finally q.stop()
   }
+
+  test("windowed host stats aggregate with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Array[Byte])]
+    val pages = input.toDF().toDF("url", "warc_ts", "html")
+    val out = StreamIngest.hostWindowStats(pages, window = "1 minute")
+    val q = out.writeStream.format("memory").queryName("host_stats")
+      .outputMode("append").start()
+    try {
+      val html = "<html><a href='x.html'>x</a></html>".getBytes("UTF-8")
+      val t0 = 1700000000000L
+      input.addData(
+        ("https://a.example/1.html", new Timestamp(t0), html),
+        ("https://a.example/2.html", new Timestamp(t0 + 1000), html),
+        ("https://b.example/1.html", new Timestamp(t0 + 2000), html))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first window
+      input.addData(("https://a.example/3.html", new Timestamp(t0 + 3600L * 1000), html))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT host, pages, outlinks FROM host_stats").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("a.example") == ((2L, 2L)), s"got $rows")
+      assert(rows("b.example") == ((1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("per-host budget state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Array[Byte])]
+    val pages = input.toDF().toDF("url", "warc_ts", "html")
+    val out = StreamIngest.hostBudget(spark, pages, perBatchBudget = 2)
+    val q = out.writeStream.format("memory").queryName("host_budget")
+      .outputMode("append").start()
+    try {
+      val html = Array.empty[Byte]
+      val t = new Timestamp(1700000000000L)
+      input.addData(
+        ("https://h.example/1.html", t, html),
+        ("https://h.example/2.html", t, html),
+        ("https://h.example/3.html", t, html)) // 3 pages, budget 2 -> 1 deferred
+      q.processAllAvailable()
+      input.addData(("https://h.example/4.html", t, html)) // batch 2: 1 served
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT served, deferred, totalServed, totalDeferred FROM host_budget ORDER BY totalServed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.length == 2, s"got ${rows.mkString(",")}")
+      assert(rows(0) == ((2L, 1L, 2L, 1L)), s"batch1: ${rows(0)}")
+      assert(rows(1) == ((1L, 0L, 3L, 1L)), s"batch2 state carried: ${rows(1)}")
+    } finally q.stop()
+  }
 }

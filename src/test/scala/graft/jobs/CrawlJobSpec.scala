@@ -295,6 +295,28 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.count() == seen.select("url").distinct.count())
   }
 
+  test("crash before manifest commit: orphan table writes are invisible, resume exact") {
+    val (straight, _) = runCrawl(3)
+    // interrupted run: 2 committed epochs...
+    val store = freshStore()
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, N, 8).toDF())
+    val robots = SyntheticCorpus.robots(spark, seed).toDF()
+    CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, seed, N, 20), cfg)
+    CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+    CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+    // ...then a crash mid-epoch-2: some tables written, NO manifest rename
+    val snapBefore = store.latest().get
+    store.writeTable("extracted", 2, spark.range(5).toDF("junk"))
+    store.writeTable("frontier", 2, spark.range(3).toDF("junk"))
+    val resumed = new ParquetSnapshotStore(store.rootDir)
+    assert(resumed.latest().get.epoch == snapBefore.epoch,
+      "uncommitted writes must not advance the snapshot")
+    val r3 = CrawlJob.runEpoch(spark, resumed, pages, robots, cfg)
+    assert(r3.epoch == 2)
+    assert(scheduledTable(resumed) == scheduledTable(straight),
+      "post-crash rerun must equal the uninterrupted run")
+  }
+
   test("robots gate blocks disallowed paths") {
     val (_, results) = runCrawl(3)
     assert(results.map(_.robotsBlocked).sum > 0, "expected some robots-blocked urls in the synthetic corpus")

@@ -82,6 +82,12 @@ object GraftFunctions {
   def is_html_mime(m: Column): Column = col(IsHtmlMimeExpr(ex(m)))
   def is_text_mime(m: Column): Column = col(IsTextMimeExpr(ex(m)))
   def extract_all(body: Column, url: Column): Column = col(ExtractAllExpr(ex(body), ex(url)))
+  def minhash_sigs(text: Column, shingleK: Int, numHashes: Int): Column =
+    col(MinhashSigsExpr(ex(text), shingleK, numHashes))
+  def shingle_hashes(text: Column, shingleK: Int): Column =
+    col(ShingleHashesExpr(ex(text), shingleK))
+  def simhash64(text: Column): Column = col(SimhashSigExpr(ex(text)))
+  def text_stats(text: Column): Column = col(TextStatsExpr(ex(text)))
 
   /** SHA-256 host/path hashes (BASELINE.json F9) from built-ins — used for
     * seen-set layout inspection and stable cross-system url identities. */
@@ -93,7 +99,7 @@ object GraftFunctions {
     sha2(when(rest === "", "/").otherwise(rest), 256)
   }
 
-  private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[sql] val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_html" -> (args => ExtractHtmlExpr(args(0), args(1))),
     "extract_text" -> (args => ExtractTextExpr(args(0), args(1))),
     "extract_outlinks" -> (args => ExtractOutlinksExpr(args(0), args(1))),
@@ -106,7 +112,18 @@ object GraftFunctions {
     "fingerprint64" -> (args => Fingerprint64Expr(args(0))),
     "is_html_mime" -> (args => IsHtmlMimeExpr(args(0))),
     "is_text_mime" -> (args => IsTextMimeExpr(args(0))),
-    "extract_all" -> (args => ExtractAllExpr(args(0), args(1))))
+    "extract_all" -> (args => ExtractAllExpr(args(0), args(1))),
+    // sketch/text expressions: int params arrive as foldable literals in SQL
+    "minhash_sigs" -> (args => MinhashSigsExpr(args(0), intArg(args(1)), intArg(args(2)))),
+    "shingle_hashes" -> (args => ShingleHashesExpr(args(0), intArg(args(1)))),
+    "simhash64" -> (args => SimhashSigExpr(args(0))),
+    "text_stats" -> (args => TextStatsExpr(args(0))))
+
+  private def intArg(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got $other")
+  }
 
   /** Register all operators in the session FunctionRegistry for SQL use. */
   def register(spark: SparkSession): Unit = {

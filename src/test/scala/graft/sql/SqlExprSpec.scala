@@ -106,6 +106,22 @@ class SqlExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == manifest)
   }
 
+  test("sketch/text functions are SQL-callable with literal params") {
+    val r = spark.sql(
+      """SELECT simhash64('hello world') AS sh,
+                size(minhash_sigs('a b c d e f', 3, 8)) AS mh,
+                size(shingle_hashes('a b c d e f', 3)) AS sg,
+                text_stats('The of and!').tokens AS toks,
+                text_stats('The of and!').hits_en AS en
+      """).collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 8)
+    assert(r.getInt(2) == 4) // 6 tokens, k=3 -> 4 shingles
+    assert(r.getInt(3) == 3 && r.getInt(4) == 3)
+    val err = intercept[Exception](spark.sql("SELECT minhash_sigs('x', 'a', 2)").collect())
+    assert(err.getMessage.contains("integer literal") || err.getMessage.contains("expected"))
+  }
+
   test("mime predicates match the reference classes") {
     val r = spark.sql(
       """SELECT is_html_mime('text/html') a, is_html_mime('application/xhtml+xml') b,

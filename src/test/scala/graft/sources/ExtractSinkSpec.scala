@@ -49,4 +49,20 @@ class ExtractSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
     assert(got == manifest, s"tree mismatch: got ${got.keySet} expected ${manifest.keySet}")
   }
+
+  test("writeFilesCounted surfaces failures instead of swallowing them") {
+    // a truncated bplist header parses as NEITHER plist NOR wrappable text
+    val bad = "bplist00".getBytes ++ Array[Byte](0, 1, 2)
+    val wiki = Files.readAllBytes(
+      Paths.get(getClass.getResource("/golden/archives/wikipedia.webarchive").toURI))
+    val df = spark.createDataFrame(Seq(
+      ("https://ok.example/a.html", wiki),
+      ("https://bad.example/b.html", bad),
+      (null.asInstanceOf[String], wiki) // null url row
+    )).toDF("url", "html")
+    val out = Files.createTempDirectory("extract-sink-fail").toString
+    val (written, failed) = ExtractSink.writeFilesCounted(df, out)
+    assert(written == 1, s"written=$written")
+    assert(failed == 2, s"failed=$failed (truncated bplist + null url)")
+  }
 }

@@ -27,6 +27,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

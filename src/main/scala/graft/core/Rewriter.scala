@@ -55,22 +55,48 @@ object Rewriter {
     }
   }
 
+  private def isUtf8Name(enc: String): Boolean = {
+    val e = enc.toLowerCase
+    e == "utf-8" || e == "utf8" || e == "u8"
+  }
+
   /** Python str(resource): strict decode with the resource encoding;
     * TypeError for non-text resources. */
   def resourceText(r: WResource): String = {
     if (!Mime.isText(r.mimeType))
       throw new IllegalArgumentException("cannot convert non-text resource to str")
-    val cs = charsetFor(r.textEncoding.getOrElse("utf-8"))
+    val encName = r.textEncoding.getOrElse("utf-8")
+    // fast path: pure-ASCII bytes decode identically under utf-8/ascii/latin1
+    // and cannot be malformed, so the REPORT decoder is skippable; the
+    // latin1 constructor is a straight copy (profiled hot: decodeArrayLoop)
+    if (isUtf8Name(encName)) {
+      val d = r.data
+      var i = 0
+      while (i < d.length && d(i) >= 0) i += 1
+      if (i == d.length)
+        return new String(d, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val cs = charsetFor(encName)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
     val out = dec.decode(ByteBuffer.wrap(r.data)).toString
-    checkCp1252Strict(out, r.textEncoding.getOrElse("utf-8").toLowerCase)
+    checkCp1252Strict(out, encName.toLowerCase)
     out
   }
 
   def encodeText(s: String, encoding: String): Array[Byte] = {
     checkCp1252Strict(s, encoding.toLowerCase)
+    // fast path: UTF-8 encoding of a surrogate-free string cannot fail, and
+    // String.getBytes(UTF_8) is intrinsified; only unpaired surrogates make
+    // getBytes ('?' replacement) diverge from the REPORT encoder (CPython
+    // raises on them — the strict path below keeps that behavior)
+    if (isUtf8Name(encoding)) {
+      var i = 0
+      val n = s.length
+      while (i < n && (s.charAt(i) & 0xF800) != 0xD800) i += 1
+      if (i == n) return s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
     val cs = charsetFor(encoding)
     val enc = cs.newEncoder()
       .onMalformedInput(CodingErrorAction.REPORT)

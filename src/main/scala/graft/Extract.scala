@@ -25,8 +25,18 @@ object Extract {
     val paths = args.filterNot(a => a == "-s" || a == "--single-file")
     val (inPath, outPath) = paths match {
       case Array(in) =>
-        val base = if (in.contains('.')) in.substring(0, in.lastIndexOf('.')) else in
-        (in, base + ".html")
+        // os.path.splitext semantics (extractor.py:44-47): split the
+        // extension within the BASENAME only — dots in parent directories
+        // are not split points ('v1.2/archive' -> 'v1.2/archive.html'),
+        // and a leading-dot name has no extension ('.webarchive' ->
+        // '.webarchive.html'). ADVICE r2.
+        val p = Paths.get(in)
+        val name = p.getFileName.toString
+        val firstNonDot = name.indexWhere(_ != '.')
+        val dot = name.lastIndexOf('.')
+        val stem = if (firstNonDot >= 0 && dot > firstNonDot) name.substring(0, dot) else name
+        val outName = stem + ".html"
+        (in, Option(p.getParent).map(_.resolve(outName).toString).getOrElse(outName))
       case Array(in, out) => (in, out)
       case _ =>
         System.err.println("usage: graft.Extract [-s|--single-file] input.webarchive [output.html]")

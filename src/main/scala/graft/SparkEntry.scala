@@ -296,7 +296,46 @@ object SparkEntry {
         .orderBy("mime")
     }),
 
-    // ---- multimodal: real image decode (ImageIO), stub audio/video ---------------
+    "extract_sink_manifest" -> ((s, d) => {
+      // the DISTRIBUTED filesystem sink end-to-end (ExtractSink S5): 21
+      // archives (the Wikipedia fixture + 20 synthetic pages) extracted
+      // via foreachPartition to a fresh dir, plus 2 poisoned rows (a
+      // truncated bplist and a null body) that must hit the failure
+      // accumulator, never crash the job. The result row is the sink's
+      // written/failed counters + a digest of the whole extracted tree
+      // (sorted relpath:sha256 lines) — deterministic across partitionings
+      // because names derive from urls and bytes from seeded content.
+      import java.nio.file.{Files, Paths}
+      val wiki = Files.readAllBytes(Paths.get(
+        "/root/reference/webarchive/sample_data/Wikipedia.webarchive"))
+      val synth = (0L until 20L).map(i =>
+        (SyntheticCorpus.urlOf(42L, i), SyntheticCorpus.htmlOf(42L, i, 100L).getBytes("UTF-8")))
+      val rows: Seq[(String, Array[Byte])] =
+        (("https://en.wikipedia.org/wiki/Main_Page", wiki) +: synth) :+
+        (("https://bad.example/truncated", "bplist00junk".getBytes("UTF-8"))) :+
+        (("https://bad.example/null", null: Array[Byte]))
+      val df = s.createDataFrame(rows).toDF("url", "html").repartition(4)
+      val outDir = Files.createTempDirectory("verify-extract-sink").toString
+      val (written, failed) = graft.sources.ExtractSink.writeFilesCounted(df, outDir)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val walk = Files.walk(Paths.get(outDir))
+      val lines = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+          val rel = Paths.get(outDir).relativize(p).toString
+          val h = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          s"$rel:$h"
+        }.toVector.sorted
+      } finally walk.close()
+      val treeSha = md.digest(lines.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      s.createDataFrame(Seq((written, failed, lines.size.toLong, treeSha)))
+        .toDF("written", "failed", "files", "tree_sha")
+    }),
+
+    // ---- multimodal: real image (ImageIO) + audio (javax.sound) decode,
+    //      stub video ----------------------------------------------------------
     "media_features" -> ((s, d) => {
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 300L))
         .toDF()
@@ -304,7 +343,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("bytes"),
              countDistinct(col("content_hash")).as("distinct_hashes"),
              sum(when(col("ok"), 1L).otherwise(0L)).as("decoded_ok"),
-             sum(col("width")).as("width_sum"), sum(col("height")).as("height_sum"))
+             sum(col("width")).as("width_sum"), sum(col("height")).as("height_sum"),
+             sum(col("sample_rate")).as("sr_sum"), sum(col("duration_ms")).as("dur_ms_sum"))
         .orderBy("kind")
     }))
 
@@ -444,10 +484,12 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(17 AS BIGINT), CAST('1.7059' AS DOUBLE))) AS t(pairs, avg_hamming)""",
     "extract_html_parity" ->
       """SELECT * FROM (VALUES ('https://en.wikipedia.org/wiki/Main_Page', CAST(499962 AS INTEGER), 'a0d43942bf65068e88d08f48995000009c9b7b23472ef6943d1318419792ba71', CAST(26 AS INTEGER))) AS t(url, extracted_chars, sha, resources)""",
+    "extract_sink_manifest" ->
+      """SELECT * FROM (VALUES (CAST(21 AS BIGINT), CAST(2 AS BIGINT), CAST(46 AS BIGINT), 'b1a9fecd497161e9d1f6eb3fcd1d6624de650cbc851322d3a2567f09b31148ba')) AS t(written, failed, files, tree_sha)""",
     "media_features" ->
-      """SELECT * FROM (VALUES ('audio', CAST(100 AS BIGINT), CAST(21350 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-         ('image', 100, 51029, 100, 100, 1538, 1250),
-         ('video', 100, 21450, 100, 100, 0, 0)) AS t(kind, n, bytes, distinct_hashes, decoded_ok, width_sum, height_sum)""",
+      """SELECT * FROM (VALUES ('audio', CAST(100 AS BIGINT), CAST(387920 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1200000 AS BIGINT), CAST(15980 AS BIGINT)),
+         ('image', 100, 51029, 100, 100, 1538, 1250, 0, 0),
+         ('video', 100, 21450, 100, 100, 0, 0, 0, 0)) AS t(kind, n, bytes, distinct_hashes, decoded_ok, width_sum, height_sum, sr_sum, dur_ms_sum)""",
     "mime_classes" ->
       """SELECT * FROM (VALUES ('image/jpeg', FALSE, FALSE, CAST(6 AS BIGINT)),
          ('image/png', FALSE, FALSE, 15),

@@ -8,17 +8,20 @@ import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * IMAGES are decoded for real: `javax.imageio` ships with the JDK, so
-  * PNG/JPEG decode, true dimensions, grid features and bilinear resize all
-  * run on actual pixels. AUDIO/VIDEO decode remains a clearly-marked STUB
-  * (no codec libraries exist in this container): deterministic fake
-  * features from the bytes. The Spark plumbing — schema, batching,
-  * partitioning, null handling — is identical for both, so swapping a real
-  * audio/video codec in is a one-function change.
+  * IMAGES and AUDIO are decoded for real: `javax.imageio` (PNG/JPEG/GIF/
+  * BMP) and `javax.sound.sampled` (WAV/AIFF/AU PCM) both ship with the
+  * JDK, so image dimensions/grid features/resize and audio sample rate/
+  * duration/windowed-RMS features all come from actual pixels and
+  * samples. VIDEO decode remains a clearly-marked STUB (no video codec
+  * exists in this container): deterministic fake features from the bytes.
+  * The Spark plumbing — schema, batching, partitioning, null handling —
+  * is identical for all three, so swapping a real video codec in is a
+  * one-function change.
   */
 object Multimodal {
 
@@ -34,6 +37,7 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long, kind: String, ok: Boolean,
       byte_len: Long, content_hash: Long, width: Int, height: Int,
+      sample_rate: Int, duration_ms: Long,
       features: Array[Float])
 
   /** Real image decode (JDK ImageIO): PNG/JPEG/GIF/BMP in, BufferedImage
@@ -77,7 +81,60 @@ object Multimodal {
     out
   }
 
-  /** STUB decode for audio/video: a real implementation would decode /
+  final case class AudioInfo(sampleRate: Int, channels: Int,
+                             durationMs: Long, features: Array[Float])
+
+  /** Real audio decode (JDK javax.sound.sampled): WAV/AIFF/AU PCM in,
+    * true sample rate / channel count / duration plus 16 real features —
+    * RMS amplitude over 16 equal time windows of the mono mix (the audio
+    * analog of [[gridLuminance]]: a fixed-size content descriptor
+    * independent of clip length). None for undecodable bytes. */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        // normalize to 16-bit signed PCM so the sample loop has one shape
+        val pcm =
+          if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16) in
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), in)
+        val f = pcm.getFormat
+        val data = pcm.readAllBytes()
+        val ch = f.getChannels
+        val frameSize = f.getFrameSize // = 2 * channels for 16-bit
+        val nFrames = if (frameSize > 0) data.length / frameSize else 0
+        if (nFrames == 0) return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
+        val durMs = math.round(nFrames * 1000.0 / f.getSampleRate)
+        val big = f.isBigEndian
+        val sumSq = new Array[Double](16)
+        val cnt = new Array[Long](16)
+        var fr = 0
+        while (fr < nFrames) {
+          val w = (fr * 16L / nFrames).toInt
+          // mono mix of the frame
+          var mix = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = fr * frameSize + c * 2
+            val s =
+              if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+              else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+            mix += s / 32768.0
+            c += 1
+          }
+          mix /= ch
+          sumSq(w) += mix * mix
+          cnt(w) += 1
+          fr += 1
+        }
+        val feats = Array.tabulate(16)(w =>
+          if (cnt(w) == 0) 0.0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
+        Some(AudioInfo(f.getSampleRate.toInt, ch, durMs, feats))
+      } catch { case _: Exception => None }
+
+  /** STUB decode for video: a real implementation would decode /
     * resample here. Deterministic fake: 16 features from a rolling hash. */
   private def decodeStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(16)(0.0f)
@@ -94,8 +151,8 @@ object Multimodal {
 
   /** Feature extraction over a media table: mapPartitions (batch-at-a-time,
     * the Scala analog of mapInPandas batch processing) — decoder state is
-    * amortized across the batch, not re-created per row. Images decode for
-    * real; audio/video use the labeled stub. */
+    * amortized across the batch, not re-created per row. Images and audio
+    * decode for real; video uses the labeled stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "bytes").mapPartitions { it =>
@@ -106,18 +163,27 @@ object Multimodal {
         val hash = if (bytes == null) 0L
           else com.google.common.hash.Hashing.murmur3_128().hashBytes(bytes).asLong()
         val len = if (bytes == null) 0L else bytes.length.toLong
-        if (kind == "image") {
-          decodeImage(bytes) match {
-            case Some(img) =>
-              MediaFeatures(id, kind, ok = true, len, hash,
-                img.getWidth, img.getHeight, gridLuminance(img))
-            case None =>
-              MediaFeatures(id, kind, ok = false, len, hash, 0, 0, Array.fill(16)(0.0f))
-          }
-        } else {
-          // STUB path: audio/video codecs are not in this container
-          MediaFeatures(id, kind, bytes != null && bytes.nonEmpty, len, hash,
-            0, 0, decodeStub(bytes))
+        kind match {
+          case "image" =>
+            decodeImage(bytes) match {
+              case Some(img) =>
+                MediaFeatures(id, kind, ok = true, len, hash,
+                  img.getWidth, img.getHeight, 0, 0L, gridLuminance(img))
+              case None =>
+                MediaFeatures(id, kind, ok = false, len, hash, 0, 0, 0, 0L, Array.fill(16)(0.0f))
+            }
+          case "audio" =>
+            decodeAudio(bytes) match {
+              case Some(a) =>
+                MediaFeatures(id, kind, ok = true, len, hash,
+                  0, 0, a.sampleRate, a.durationMs, a.features)
+              case None =>
+                MediaFeatures(id, kind, ok = false, len, hash, 0, 0, 0, 0L, Array.fill(16)(0.0f))
+            }
+          case _ =>
+            // STUB path: no video codec in this container
+            MediaFeatures(id, kind, bytes != null && bytes.nonEmpty, len, hash,
+              0, 0, 0, 0L, decodeStub(bytes))
         }
       }
     }
@@ -209,21 +275,49 @@ object Multimodal {
     (bos.toByteArray, w, h)
   }
 
+  /** A real, deterministic WAV clip: 16-bit PCM mono sine (seeded freq,
+    * amplitude and length) encoded through AudioSystem — exercises the
+    * true decode path end-to-end. Returns (bytes, sampleRate, durationMs). */
+  def syntheticWav(i: Long): (Array[Byte], Int, Long) = {
+    val sampleRate = 8000 + (i % 3).toInt * 4000 // 8/12/16 kHz
+    val nSamples = (sampleRate / 10 + (i % 7) * sampleRate / 50).toInt // 100-220 ms
+    val freq = 220.0 + (i % 12) * 55.0
+    val amp = 0.25 + 0.05 * (i % 5)
+    val pcm = new Array[Byte](nSamples * 2)
+    var k = 0
+    while (k < nSamples) {
+      val s = (32767 * amp * math.sin(2 * math.Pi * freq * k / sampleRate)).toInt.toShort
+      pcm(2 * k) = (s & 0xff).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    (bos.toByteArray, sampleRate, math.round(nSamples * 1000.0 / sampleRate))
+  }
+
   /** Deterministic synthetic media table for tests/bench: image rows carry
-    * REAL PNG payloads (decoded by the real path above); audio/video rows
-    * carry opaque seeded bytes for the stub path. No external data. */
+    * REAL PNG payloads, audio rows REAL WAV payloads (both decoded by the
+    * real paths above); video rows carry opaque seeded bytes for the stub
+    * path. No external data. */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
     import spark.implicits._
     val rows = spark.range(0, n, 1, partitions).as[Long].map { i =>
       val kind = (i % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-      if (kind == "image") {
-        val (png, w, h) = syntheticPng(i)
-        (i, kind, "image/png", png, Some(w), Some(h), None: Option[Long])
-      } else {
-        val len = 64 + (i % 512).toInt
-        val bytes = Array.tabulate[Byte](len)(k => ((i * 31 + k * 7) & 0xff).toByte)
-        (i, kind, if (kind == "audio") "audio/ogg" else "video/webm",
-          bytes, None: Option[Int], None: Option[Int], Some(1000L + i % 60000))
+      kind match {
+        case "image" =>
+          val (png, w, h) = syntheticPng(i)
+          (i, kind, "image/png", png, Some(w), Some(h), None: Option[Long])
+        case "audio" =>
+          val (wav, _, durMs) = syntheticWav(i)
+          (i, kind, "audio/wav", wav, None: Option[Int], None: Option[Int], Some(durMs))
+        case _ =>
+          val len = 64 + (i % 512).toInt
+          val bytes = Array.tabulate[Byte](len)(k => ((i * 31 + k * 7) & 0xff).toByte)
+          (i, kind, "video/webm",
+            bytes, None: Option[Int], None: Option[Int], Some(1000L + i % 60000))
       }
     }.toDF("media_id", "kind", "mime", "bytes", "meta_width", "meta_height", "meta_duration_ms")
     rows

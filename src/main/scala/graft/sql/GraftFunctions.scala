@@ -125,13 +125,15 @@ object GraftFunctions {
       s"expected an integer literal argument, got $other")
   }
 
-  /** Register all operators in the session FunctionRegistry for SQL use. */
+  /** Register all operators in the session FunctionRegistry for SQL use.
+    * Idempotent per session and per FUNCTION (queries call this
+    * defensively): each name is checked individually, so a session holding
+    * a partial/older registration still gets every missing function
+    * (ADVICE r2 — gating the whole loop on registry.head silently skipped
+    * functions added after the first registration). */
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
-    // idempotent per session: re-registering logs a replaced-function WARN
-    // per function per call (queries call this defensively)
-    if (fr.functionExists(FunctionIdentifier(registry.head._1))) return
-    for ((name, builder) <- registry) {
+    for ((name, builder) <- registry if !fr.functionExists(FunctionIdentifier(name))) {
       fr.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo("graft.sql", name),

@@ -59,6 +59,24 @@ class ExtractCliSpec extends AnyFunSuite {
     } finally sub.close()
   }
 
+  test("CLI output derivation is os.path.splitext: basename-only, leading dot kept") {
+    // dots in PARENT directories are not split points (ADVICE r2: the old
+    // whole-path lastIndexOf('.') made 'v1.2/archive' -> 'v1.html')
+    val dir = Files.createTempDirectory("extract-cli-splitext")
+    val dotted = dir.resolve("v1.2")
+    Files.createDirectories(dotted)
+    val in1 = dotted.resolve("archive")
+    Files.copy(Paths.get(wiki), in1)
+    Extract.main(Array("-s", in1.toString))
+    assert(Files.isRegularFile(dotted.resolve("archive.html")),
+      "extensionless input in a dotted dir must extract NEXT TO the input")
+    // a leading-dot basename has no extension: '.webarchive' -> '.webarchive.html'
+    val in2 = dir.resolve(".webarchive")
+    Files.copy(Paths.get(wiki), in2)
+    Extract.main(Array("-s", in2.toString))
+    assert(Files.isRegularFile(dir.resolve(".webarchive.html")))
+  }
+
   test("CLI single-file mode writes one self-contained html") {
     val dir = Files.createTempDirectory("extract-cli-single")
     val out = dir.resolve("single.html")

@@ -227,6 +227,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.map(_.content_hash).sorted.sameElements(again.map(_.content_hash).sorted))
   }
 
+  test("real audio decode: WAV round-trip reports true sample rate and duration") {
+    // direct: a known synthetic WAV decodes to its generation parameters
+    val (wav, sr, durMs) = Multimodal.syntheticWav(7L)
+    val info = Multimodal.decodeAudio(wav).get
+    assert(info.sampleRate == sr)
+    assert(math.abs(info.durationMs - durMs) <= 1)
+    assert(info.channels == 1)
+    // windowed RMS of a sine with amplitude a is ~a/sqrt(2) in EVERY window
+    val amp = 0.25 + 0.05 * (7 % 5)
+    val expect = (amp / math.sqrt(2)).toFloat
+    assert(info.features.length == 16)
+    assert(info.features.forall(f => math.abs(f - expect) < 0.05f),
+      s"expected ~$expect per window: ${info.features.mkString(",")}")
+    // undecodable bytes -> None (never a crash)
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    // through the Spark path: every audio row reports its true parameters
+    val media = Multimodal.syntheticMedia(spark, 30L)
+    val feats = Multimodal.extractFeatures(spark, media).collect().filter(_.kind == "audio")
+    assert(feats.nonEmpty && feats.forall(_.ok))
+    for (f <- feats) {
+      val (_, esr, edur) = Multimodal.syntheticWav(f.media_id)
+      assert(f.sample_rate == esr, s"media ${f.media_id}")
+      assert(math.abs(f.duration_ms - edur) <= 1, s"media ${f.media_id}")
+    }
+  }
+
   // ---- LSH hot-bucket bounding (VERDICT r2 #3) -------------------------------
 
   test("simhash hot-bucket sub-banding loses no recall: all-hot == all-cold pairs") {

@@ -42,8 +42,10 @@ def duck_type(arrow_type):
 def gen(outdir, name):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     assert files, f"no parquet for {name}"
+    # read EVERY part file (Verify coalesce(1)s today, but a multi-part
+    # dump must not silently truncate the oracle — ADVICE r2)
     t = duckdb.connect().execute(
-        f"SELECT * FROM read_parquet('{files[0]}')").fetch_arrow_table()
+        f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetch_arrow_table()
     cols = t.column_names
     types = [duck_type(t.schema.field(c).type) for c in cols]
     rows = [tuple(col[i].as_py() for col in t.columns) for i in range(t.num_rows)]

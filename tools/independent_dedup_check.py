@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""INDEPENDENT verification of the dedup_* golden-constant oracles.
+
+The dedup_minhash / dedup_ngram_jaccard / dedup_simhash oracles in
+SparkEntry.oracleSql are golden constants generated from the query's own
+verified dump (tools/gen_oracles.py) — they pin determinism and partition
+invariance but are circular against a shared semantic bug (VERDICT r2,
+"What's missing #2"). This script closes that loop: it recomputes the same
+quantities at sf0.01 in pure Python from the PUBLISHED algorithm specs —
+no Spark, no JVM, no shared code — and compares against the pinned
+constants.
+
+What it computes, per query:
+  dedup_minhash       exact all-pairs 5-shingle jaccard >= 0.8 over the
+                      500 sf0.01 documents (ground truth, O(n^2)), PLUS a
+                      from-spec replication of the banded-LSH candidate
+                      pipeline — both must equal the pinned (25, 0.9709).
+                      all-pairs == LSH also proves 100% recall at this SF.
+  dedup_ngram_jaccard from-spec replication of minhashLshPairs(k=3,
+                      bands=8, rows=2) + exact jaccard summed over ALL
+                      candidates -> pinned (29, 24.3769).
+  dedup_simhash       exact all-pairs hamming <= 3 over term-frequency
+                      simhash signatures (banding is recall-lossless by
+                      pigeonhole, so all-pairs IS the LSH answer) ->
+                      pinned (17, 1.7059). Zero-token docs excluded
+                      (engine filters sig==0 before banding).
+
+Hash parity: Spark's xxhash64 (XXH64, seed 42) is reimplemented from the
+xxHash specification below and self-checked at startup against six
+reference values dumped from Spark. Exit code 0 = all PASS.
+
+Usage: independent_dedup_check.py [sfDir]   (default /root/testdata/sf0.01)
+"""
+import sys
+import itertools
+
+# ---------------------------------------------------------------- xxh64 ----
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+M = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M
+
+
+def _round(acc, inp):
+    acc = (acc + inp * P2) & M
+    return (_rotl(acc, 31) * P1) & M
+
+
+def _fmix(h):
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 over bytes; returns SIGNED 64-bit (Spark long semantics)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1, v2, v3, v4 = (seed + P1 + P2) & M, (seed + P2) & M, seed & M, (seed - P1) & M
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], 'little')); i += 8
+            v2 = _round(v2, int.from_bytes(data[i:i + 8], 'little')); i += 8
+            v3 = _round(v3, int.from_bytes(data[i:i + 8], 'little')); i += 8
+            v4 = _round(v4, int.from_bytes(data[i:i + 8], 'little')); i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        k = _round(0, int.from_bytes(data[i:i + 8], 'little'))
+        h = ((_rotl(h ^ k, 27)) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i:i + 4], 'little') * P1) & M), 23)) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * P5) & M), 11) * P1) & M
+        i += 1
+    h = _fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark xxhash64 of a LONG column = xxh64 of its 8 little-endian bytes."""
+    return xxh64((v & M).to_bytes(8, 'little'), seed)
+
+
+def _self_check():
+    # reference values dumped from Spark 4.1.2: xxhash64(lit(x)) (seed 42)
+    assert xxh64(b"hello") == -4367754540140381902
+    assert xxh64(b"") == -7444071767201028348
+    assert xxh64(b"ab c") == 3634879957340616801
+    assert xxh64_long(123) == -3178482946328430151
+    assert xxh64_long(-5) == -5259934538394028452
+    assert xxh64_long(0) == -5252525462095825812
+
+
+# ------------------------------------------------------------ algorithms ----
+def tokens(text):
+    # Dedup.shingles / SimhashSigExpr tokenization: \S+ over lower(text)
+    return text.lower().split()
+
+
+def shingle_hashes(text, k):
+    """Distinct k-shingle hashes (ShingleHashesExpr semantics)."""
+    toks = tokens(text)
+    if len(toks) >= k:
+        sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    else:
+        sh = {" ".join(toks)}
+    return {xxh64(s.encode('utf-8')) for s in sh}
+
+
+def minhash_sig(sh_hashes, num_hashes):
+    """MinhashSigsExpr: sig_i = min over shingle hashes h of
+    xxh64_long(h XOR seed_i), seed_i = 0x9E3779B97F4A7C15 * (i+1)."""
+    GOLDEN = 0x9E3779B97F4A7C15
+    sig = []
+    for i in range(num_hashes):
+        seed = (GOLDEN * (i + 1)) & M
+        sig.append(min(xxh64_long(h ^ seed) for h in sh_hashes))
+    return sig
+
+
+def lsh_pairs(sigs_by_id, bands, rows_per_band):
+    """minhashLshPairs: band value = xxh64 of the band's sig slice cast to
+    decimal strings joined by ','; pairs = within-(band,bucket), a<b."""
+    pairs = set()
+    for b in range(bands):
+        buckets = {}
+        for i, sig in sigs_by_id.items():
+            key = xxh64(",".join(str(v) for v in sig[b * rows_per_band:(b + 1) * rows_per_band])
+                        .encode('utf-8'))
+            buckets.setdefault(key, []).append(i)
+        for ids in buckets.values():
+            for a, c in itertools.combinations(sorted(ids), 2):
+                pairs.add((a, c))
+    return pairs
+
+
+def jaccard(sa, sb):
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+def simhash(text):
+    """SimhashSigExpr: term-frequency bit votes over xxh64(token); bit set
+    when the vote sum is strictly positive."""
+    votes = [0] * 64
+    toks = tokens(text)
+    if not toks:
+        return 0
+    from collections import Counter
+    for t, c in Counter(toks).items():
+        h = xxh64(t.encode('utf-8')) & M
+        for b in range(64):
+            votes[b] += c if (h >> b) & 1 else -c
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+# ------------------------------------------------------------------ main ----
+def main():
+    _self_check()
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import duckdb
+    import os
+    p = f"{sf}/documents.parquet"
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{pat}') ORDER BY doc_id").fetchall()
+    print(f"docs: {len(rows)}")
+    failures = 0
+
+    def check(name, got, want):
+        nonlocal failures
+        ok = got == want
+        if not ok:
+            failures += 1
+        print(f"{'PASS' if ok else 'FAIL'} {name}: got {got} want {want}")
+
+    # ---- dedup_minhash: pinned (pairs=25, avg_jaccard=0.9709) at tau=0.8
+    sh5 = {i: shingle_hashes(t, 5) for i, t in rows}
+    ids = sorted(sh5)
+    true_pairs = {}
+    for a, b in itertools.combinations(ids, 2):
+        j = jaccard(sh5[a], sh5[b])
+        if j >= 0.8:
+            true_pairs[(a, b)] = j
+    avg = round(sum(true_pairs.values()) / len(true_pairs), 4) if true_pairs else 0.0
+    check("dedup_minhash ALL-PAIRS ground truth", (len(true_pairs), avg), (25, 0.9709))
+
+    sigs32 = {i: minhash_sig(sh5[i], 32) for i in ids}
+    cands = lsh_pairs(sigs32, bands=8, rows_per_band=4)
+    lsh_hits = {p: jaccard(sh5[p[0]], sh5[p[1]]) for p in cands}
+    lsh_pass = {p: j for p, j in lsh_hits.items() if j >= 0.8}
+    avg_l = round(sum(lsh_pass.values()) / len(lsh_pass), 4) if lsh_pass else 0.0
+    check("dedup_minhash LSH-pipeline replication", (len(lsh_pass), avg_l), (25, 0.9709))
+    check("dedup_minhash recall (LSH == all-pairs)",
+          sorted(lsh_pass) == sorted(true_pairs), True)
+
+    # ---- dedup_ngram_jaccard: pinned (pairs=29, sum_jaccard=24.3769)
+    sh3 = {i: shingle_hashes(t, 3) for i, t in rows}
+    sigs16 = {i: minhash_sig(sh3[i], 16) for i in ids}
+    cands3 = lsh_pairs(sigs16, bands=8, rows_per_band=2)
+    s = round(sum(jaccard(sh3[a], sh3[b]) for a, b in cands3), 4)
+    check("dedup_ngram_jaccard replication", (len(cands3), s), (29, 24.3769))
+
+    # ---- dedup_simhash: pinned (pairs=17, avg_hamming=1.7059), k<=3
+    sigs = {i: simhash(t) for i, t in rows}
+    nz = [i for i in ids if sigs[i] != 0]  # engine drops zero-token docs
+    hams = [bin(sigs[a] ^ sigs[b]).count("1")
+            for a, b in itertools.combinations(nz, 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3]
+    avg_h = round(sum(hams) / len(hams), 4) if hams else 0.0
+    check("dedup_simhash ALL-PAIRS ground truth", (len(hams), avg_h), (17, 1.7059))
+
+    print(f"== {failures} failures ==")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

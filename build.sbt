@@ -36,5 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC", // extraction is allocation-heavy; throughput GC beats G1 here
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench's 200k-page crawl in an 8g heap spent its
+  // tail in GC, and the host has 128 GiB — headroom is free here
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

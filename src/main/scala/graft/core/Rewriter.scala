@@ -60,22 +60,57 @@ object Rewriter {
     e == "utf-8" || e == "utf8" || e == "u8"
   }
 
+  /** RFC 3629 UTF-8 well-formedness: no truncated sequences, no stray
+    * continuations, no overlongs, no surrogates, max U+10FFFF — exactly
+    * the byte strings CPython's strict utf-8 codec (and Java's REPORT
+    * decoder) accept. For a well-formed input the intrinsified String
+    * constructor produces the identical char sequence, so the strict
+    * decoder (profiled hot: decodeArrayLoop ~9% of to_html) is skippable.
+    * Differential-tested against the REPORT decoder in PropertySpec. */
+  private[core] def isValidUtf8(d: Array[Byte]): Boolean = {
+    var i = 0
+    val n = d.length
+    while (i < n) {
+      val b = d(i)
+      if (b >= 0) i += 1
+      else {
+        val b0 = b & 0xFF
+        if (b0 < 0xC2) return false // stray continuation or overlong C0/C1
+        else if (b0 < 0xE0) { // 2-byte
+          if (i + 1 >= n || (d(i + 1) & 0xC0) != 0x80) return false
+          i += 2
+        } else if (b0 < 0xF0) { // 3-byte
+          if (i + 2 >= n) return false
+          val b1 = d(i + 1) & 0xFF
+          if ((b1 & 0xC0) != 0x80 || (d(i + 2) & 0xC0) != 0x80) return false
+          if (b0 == 0xE0 && b1 < 0xA0) return false // overlong
+          if (b0 == 0xED && b1 >= 0xA0) return false // surrogate range
+          i += 3
+        } else if (b0 < 0xF5) { // 4-byte
+          if (i + 3 >= n) return false
+          val b1 = d(i + 1) & 0xFF
+          if ((b1 & 0xC0) != 0x80 || (d(i + 2) & 0xC0) != 0x80 ||
+              (d(i + 3) & 0xC0) != 0x80) return false
+          if (b0 == 0xF0 && b1 < 0x90) return false // overlong
+          if (b0 == 0xF4 && b1 >= 0x90) return false // > U+10FFFF
+          i += 4
+        } else return false
+      }
+    }
+    true
+  }
+
   /** Python str(resource): strict decode with the resource encoding;
     * TypeError for non-text resources. */
   def resourceText(r: WResource): String = {
     if (!Mime.isText(r.mimeType))
       throw new IllegalArgumentException("cannot convert non-text resource to str")
     val encName = r.textEncoding.getOrElse("utf-8")
-    // fast path: pure-ASCII bytes decode identically under utf-8/ascii/latin1
-    // and cannot be malformed, so the REPORT decoder is skippable; the
-    // latin1 constructor is a straight copy (profiled hot: decodeArrayLoop)
-    if (isUtf8Name(encName)) {
-      val d = r.data
-      var i = 0
-      while (i < d.length && d(i) >= 0) i += 1
-      if (i == d.length)
-        return new String(d, java.nio.charset.StandardCharsets.ISO_8859_1)
-    }
+    // fast path: well-formed UTF-8 decodes identically through the
+    // intrinsified constructor (see isValidUtf8); malformed input falls
+    // through to the strict REPORT decoder for the exact error behavior
+    if (isUtf8Name(encName) && isValidUtf8(r.data))
+      return new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
     val cs = charsetFor(encName)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
@@ -150,8 +185,16 @@ object Rewriter {
     val absUrl = getAbsoluteUrl(ctx, origUrl, base)
     try {
       if (subresourceDir == null) {
-        val res = ctx.getSubresource(absUrl)
-        toDataUri(ctx, res, depth + 1)
+        // memo first: a repeated reference skips the subresource map
+        // lookup entirely (memo keys are subresource urls, so a hit
+        // implies getSubresource(absUrl) would succeed with res.url ==
+        // absUrl and toDataUri would return exactly this value)
+        val memod = ctx.dataUriMemo.get(absUrl)
+        if (memod != null) memod
+        else {
+          val res = ctx.getSubresource(absUrl)
+          toDataUri(ctx, res, depth + 1)
+        }
       } else {
         val localPath = ctx.getLocalPath(absUrl)
         if (subresourceDir.nonEmpty) subresourceDir + "/" + localPath else localPath
@@ -178,9 +221,36 @@ object Rewriter {
         processCssResource(ctx, res, sb, null, depth)
         encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
       } else res.data
-    val uri = "data:" + res.mimeType + ";base64," + java.util.Base64.getEncoder.encodeToString(data)
+    val uri = buildDataUri(res.mimeType, data)
     ctx.dataUriMemo.put(memoKey, uri)
     uri
+  }
+
+  /** Single-allocation data-URI assembly. The naive
+    * `"data:"+mime+";base64,"+encodeToString(data)` walks the (often
+    * multi-hundred-KB) base64 text through five copies (encoder byte[],
+    * String ctor, builder append, builder inflate-risk, toString);
+    * profiled at ~19% of to_html. Base64 output and the prefix are ASCII,
+    * so one exact-size byte[] + the latin1 constructor (a straight copy)
+    * yields the identical string in three passes. */
+  private def buildDataUri(mime: String, data: Array[Byte]): String = {
+    var ascii = true
+    var i = 0
+    while (i < mime.length && ascii) { if (mime.charAt(i) > 0x7F) ascii = false; i += 1 }
+    if (!ascii) // non-ASCII mime type: rare, correctness over speed
+      return "data:" + mime + ";base64," + java.util.Base64.getEncoder.encodeToString(data)
+    val b64 = java.util.Base64.getEncoder.encode(data)
+    val all = new Array[Byte](5 + mime.length + 8 + b64.length)
+    var o = 0
+    def putAscii(s: String): Unit = {
+      var k = 0
+      while (k < s.length) { all(o) = s.charAt(k).toByte; o += 1; k += 1 }
+    }
+    putAscii("data:")
+    putAscii(mime)
+    putAscii(";base64,")
+    System.arraycopy(b64, 0, all, o, b64.length)
+    new String(all, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
   // --- CSS (util.py:236-276) --------------------------------------------------

@@ -32,6 +32,40 @@ class PropertySpec extends AnyFunSuite {
     f <- Gen.oneOf("", "#frag")
   } yield if (scheme.isEmpty) s"//$host/$path$q$f" else s"$scheme://$host/$path$q$f"
 
+  test("utf-8 fast path: isValidUtf8 accept/reject and value match the strict decoder") {
+    import java.nio.charset.{StandardCharsets, CodingErrorAction}
+    // byte-array generator biased toward UTF-8 boundary cases: valid
+    // multi-byte sequences, overlongs, surrogates, truncations, stray
+    // continuations, and random noise
+    val interesting: Gen[Array[Byte]] = {
+      val chunk: Gen[Array[Byte]] = Gen.oneOf(
+        Gen.asciiPrintableStr.map(_.getBytes(StandardCharsets.US_ASCII)),
+        Gen.oneOf("é", "€", "中", "𝄞", "߿", "�").map(_.getBytes(StandardCharsets.UTF_8)),
+        Gen.oneOf[Array[Byte]](
+          Array(0xC0.toByte, 0xAF.toByte),               // overlong '/'
+          Array(0xE0.toByte, 0x80.toByte, 0x80.toByte),  // overlong NUL
+          Array(0xED.toByte, 0xA0.toByte, 0x80.toByte),  // surrogate D800
+          Array(0xF4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte), // > 10FFFF
+          Array(0xF5.toByte, 0x80.toByte),               // invalid lead
+          Array(0x80.toByte),                            // stray continuation
+          Array(0xE2.toByte, 0x82.toByte),               // truncated 3-byte
+          Array(0xF0.toByte, 0x9D.toByte, 0x84.toByte))) // truncated 4-byte
+      Gen.listOf(chunk).map(_.flatten.toArray)
+    }
+    forAll(interesting) { bytes =>
+      val strict = try {
+        Some(StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      } catch { case _: java.nio.charset.CharacterCodingException => None }
+      assert(Rewriter.isValidUtf8(bytes) == strict.isDefined,
+        s"validator disagrees with strict decoder on ${bytes.map(b => f"$b%02x").mkString(" ")}")
+      if (strict.isDefined)
+        assert(new String(bytes, StandardCharsets.UTF_8) == strict.get)
+    }
+  }
+
   test("canonicalize is idempotent") {
     forAll(urlGen) { u =>
       PyUrl.canonicalize(u) match {

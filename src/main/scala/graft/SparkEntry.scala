@@ -346,6 +346,28 @@ object SparkEntry {
              sum(col("width")).as("width_sum"), sum(col("height")).as("height_sum"),
              sum(col("sample_rate")).as("sr_sum"), sum(col("duration_ms")).as("dur_ms_sum"))
         .orderBy("kind")
+    }),
+    "media_resize" -> ((s, d) => {
+      // real bilinear resize into a 16px box: true source dims, target dims
+      // respecting aspect ratio, and a content hash of the resampled pixels
+      // (deterministic: seeded PNGs, JDK Graphics2D bilinear)
+      Multimodal.resizeImages(s, Multimodal.syntheticMedia(s, 300L), maxDim = 16)
+        .toDF()
+        .agg(count(lit(1)).as("n"),
+             sum(col("width")).as("w_sum"), sum(col("height")).as("h_sum"),
+             sum(col("target_w")).as("tw_sum"), sum(col("target_h")).as("th_sum"),
+             countDistinct(col("thumb_hash")).as("distinct_thumbs"))
+    }),
+    "media_frame_sample" -> ((s, d) => {
+      // UDTF-shaped frame sampling (one row per sampled frame) over the
+      // stub video decoder — the Spark plumbing (explode shape, per-frame
+      // keys, determinism) is the operator under test
+      Multimodal.sampleFrames(s, Multimodal.syntheticMedia(s, 300L), everyMs = 100L)
+        .toDF()
+        .agg(count(lit(1)).as("frames"),
+             countDistinct(col("media_id")).as("clips"),
+             sum(col("frame_ts_ms")).as("ts_sum"),
+             countDistinct(col("frame_hash")).as("distinct_frames"))
     }))
 
   /** DuckDB equivalents over the same parquet tables. Column names/aliases
@@ -486,6 +508,10 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('https://en.wikipedia.org/wiki/Main_Page', CAST(499962 AS INTEGER), 'a0d43942bf65068e88d08f48995000009c9b7b23472ef6943d1318419792ba71', CAST(26 AS INTEGER))) AS t(url, extracted_chars, sha, resources)""",
     "extract_sink_manifest" ->
       """SELECT * FROM (VALUES (CAST(21 AS BIGINT), CAST(2 AS BIGINT), CAST(46 AS BIGINT), 'b1a9fecd497161e9d1f6eb3fcd1d6624de650cbc851322d3a2567f09b31148ba')) AS t(written, failed, files, tree_sha)""",
+    "media_resize" ->
+      """SELECT * FROM (VALUES (CAST(100 AS BIGINT), CAST(1538 AS BIGINT), CAST(1250 AS BIGINT), CAST(1357 AS BIGINT), CAST(1117 AS BIGINT), CAST(100 AS BIGINT))) AS t(n, w_sum, h_sum, tw_sum, th_sum, distinct_thumbs)""",
+    "media_frame_sample" ->
+      """SELECT * FROM (VALUES (CAST(1201 AS BIGINT), CAST(100 AS BIGINT), CAST(664500 AS BIGINT), CAST(1201 AS BIGINT))) AS t(frames, clips, ts_sum, distinct_frames)""",
     "media_features" ->
       """SELECT * FROM (VALUES ('audio', CAST(100 AS BIGINT), CAST(387920 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1200000 AS BIGINT), CAST(15980 AS BIGINT)),
          ('image', 100, 51029, 100, 100, 1538, 1250, 0, 0),

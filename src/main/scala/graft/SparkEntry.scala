@@ -296,6 +296,36 @@ object SparkEntry {
         .orderBy("mime")
     }),
 
+    "stream_ingest" -> ((s, d) => {
+      // the Structured Streaming surface end-to-end: MemoryStream source ->
+      // canonicalize -> watermarked URL dedup -> single-pass extraction ->
+      // memory sink. 200 unique pages + 40 EXACT duplicate rows (same url,
+      // ts, bytes — the survivor is identical whichever row wins), so every
+      // aggregate below is deterministic and partition-invariant.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val input = MemoryStream[(String, java.sql.Timestamp, Array[Byte])]
+      val base = 1700000000000L
+      val rows = (0L until 200L).map { i =>
+        (s"https://stream-host${i % 17}.example/p$i.html",
+         new java.sql.Timestamp(base + i * 1000L),
+         SyntheticCorpus.htmlOf(42L, i, 200L).getBytes("UTF-8"))
+      }
+      val dups = (0L until 200L by 5).map(i => rows(i.toInt))
+      input.addData(rows ++ dups)
+      val sink = "stream_ingest_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamIngest.transform(
+          input.toDF().toDF("url", "warc_ts", "html"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .agg(count(lit(1)).as("extracted_rows"),
+             countDistinct(col("url")).as("urls"),
+             sum(size(col("outlinks"))).as("outlinks"),
+             sum(length(col("extracted_html"))).as("html_chars"))
+    }),
+
     "extract_sink_manifest" -> ((s, d) => {
       // the DISTRIBUTED filesystem sink end-to-end (ExtractSink S5): 21
       // archives (the Wikipedia fixture + 20 synthetic pages) extracted
@@ -510,6 +540,8 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(21 AS BIGINT), CAST(2 AS BIGINT), CAST(46 AS BIGINT), 'b1a9fecd497161e9d1f6eb3fcd1d6624de650cbc851322d3a2567f09b31148ba')) AS t(written, failed, files, tree_sha)""",
     "media_resize" ->
       """SELECT * FROM (VALUES (CAST(100 AS BIGINT), CAST(1538 AS BIGINT), CAST(1250 AS BIGINT), CAST(1357 AS BIGINT), CAST(1117 AS BIGINT), CAST(100 AS BIGINT))) AS t(n, w_sum, h_sum, tw_sum, th_sum, distinct_thumbs)""",
+    "stream_ingest" ->
+      """SELECT * FROM (VALUES (CAST(200 AS BIGINT), CAST(200 AS BIGINT), CAST(1850 AS BIGINT), CAST(248547 AS BIGINT))) AS t(extracted_rows, urls, outlinks, html_chars)""",
     "media_frame_sample" ->
       """SELECT * FROM (VALUES (CAST(1201 AS BIGINT), CAST(100 AS BIGINT), CAST(664500 AS BIGINT), CAST(1201 AS BIGINT))) AS t(frames, clips, ts_sum, distinct_frames)""",
     "media_features" ->

@@ -230,8 +230,89 @@ def main():
     avg_h = round(sum(hams) / len(hams), 4) if hams else 0.0
     check("dedup_simhash ALL-PAIRS ground truth", (len(hams), avg_h), (17, 1.7059))
 
+    # ---- ANN: exact brute-force ground truth + hyperplane-LSH replication
+    check_ann(sf, check)
+
     print(f"== {failures} failures ==")
     sys.exit(1 if failures else 0)
+
+
+# ----------------------------------------------------------------- ANN ----
+def _spark_round4(x):
+    """Spark round(col, 4): HALF_UP decimal rounding of the double."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def _cosine(a, b):
+    """Replicates Similarity.cosine bit-for-bit: zip_with multiplies in
+    FLOAT32, aggregate folds sequentially in float64; norms likewise."""
+    import numpy as np
+    prods = np.multiply(np.float32(a), np.float32(b), dtype=np.float32)
+    dot = 0.0
+    for v in prods:
+        dot += float(v)
+    na = 0.0
+    for v in np.multiply(np.float32(a), np.float32(a), dtype=np.float32):
+        na += float(v)
+    nb = 0.0
+    for v in np.multiply(np.float32(b), np.float32(b), dtype=np.float32):
+        nb += float(v)
+    import math
+    n = math.sqrt(na) * math.sqrt(nb)
+    return dot / n if n > 0 else 0.0
+
+
+def _plane_component(p, i, seed):
+    """Similarity.planeComponent: splitmix64 of (seed, plane, dim) -> [-1,1)."""
+    x = (seed ^ (p * 0x9E3779B97F4A7C15) ^ (i * 0xBF58476D1CE4E5B9)) & M
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+    x = x ^ (x >> 31)
+    return (x >> 11) / float(1 << 52) - 1.0
+
+
+def _hyperplane_sig(vec, planes, dim, seed):
+    """HyperplaneSigExpr: per-plane sequential float64 dot, sign bits."""
+    sig = 0
+    for p in range(planes):
+        acc = 0.0
+        for i in range(min(len(vec), dim)):
+            acc += float(vec[i]) * _plane_component(p, i, seed)
+        if acc >= 0:
+            sig |= 1 << p
+    return sig
+
+
+def check_ann(sf, check):
+    """ann_brute_topk: EXACT cosine top-10 (independent ground truth).
+    ann_lsh_topk: from-spec replication of the multi-probe bucketed path."""
+    import os
+    import duckdb
+    p = f"{sf}/embeddings.parquet"
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    vecs = dict(duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{pat}') ORDER BY vec_id").fetchall())
+    q = vecs[0]
+    corpus = [(i, v) for i, v in vecs.items() if i != 0]
+    scored = sorted(((i, _cosine(v, q)) for i, v in corpus),
+                    key=lambda t: (-t[1], t[0]))
+    brute = [(i, _spark_round4(c)) for i, c in scored[:10]]
+    check("ann_brute_topk EXACT ground truth", brute,
+          [(365, 0.37), (334, 0.3627), (387, 0.3311), (423, 0.2969),
+           (73, 0.2954), (7, 0.2928), (320, 0.2879), (190, 0.2818),
+           (464, 0.2766), (388, 0.2763)])
+    planes, dim, seed = 10, len(q), 42
+    qsig = _hyperplane_sig(q, planes, dim, seed)
+    probes = {qsig} | {qsig ^ (1 << b) for b in range(planes)}
+    cands = [(i, _cosine(v, q)) for i, v in corpus
+             if _hyperplane_sig(v, planes, dim, seed) in probes]
+    lsh = [(i, _spark_round4(c))
+           for i, c in sorted(cands, key=lambda t: (-t[1], t[0]))[:10]]
+    check("ann_lsh_topk pipeline replication", lsh,
+          [(464, 0.2766), (131, 0.2406), (415, 0.238), (204, 0.1594),
+           (429, 0.1498), (419, 0.0982), (361, 0.0582), (57, 0.0326),
+           (212, -0.1097)])
 
 
 if __name__ == "__main__":

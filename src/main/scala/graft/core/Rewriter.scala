@@ -257,7 +257,17 @@ object Rewriter {
 
   private val rxStyleSheetUrl = Pattern.compile("url\\(([^\\)]+)\\)")
 
-  /** Rewrites url() values; base for resolution is the style sheet's URL. */
+  /** Rewrites url() values; base for resolution is the style sheet's URL.
+    *
+    * Reference semantics (util.py:236-276): findall on the ORIGINAL
+    * content, then `content = content.replace(match, local)` applied
+    * SEQUENTIALLY — each replace rescans the current (growing) string. In
+    * data-URI mode every replacement is a multi-KB data URI, so a sheet
+    * with k url() refs walks O(k²·len) bytes through copies (profiled
+    * ~10% of to_html). [[onePassCssSplice]] produces the identical result
+    * in one splice whenever equivalence is PROVABLE (no cross-containment
+    * between match strings or replacements, no overlapping occurrences);
+    * any unprovable input falls back to the literal sequential semantics. */
   def processCssResource(ctx: ArchiveCtx, res: WResource, output: StringBuilder,
                          subresourceDir: String, depth: Int): Unit = {
     if (res.mimeType != "text/css")
@@ -270,16 +280,103 @@ object Rewriter {
       while (m.find()) b += m.group(1)
       b.result()
     }
+    // resolve every match OCCURRENCE in original order (duplicates kept —
+    // the reference re-runs replace per occurrence, which is observable:
+    // a duplicate match whose replacement contains its own match string
+    // double-rewrites). getLocalUrl is deterministic per (ctx, dir, m,
+    // base) and toDataUri memoizes, so duplicate occurrences reuse the
+    // first resolution.
+    val firstLocal = scala.collection.mutable.HashMap.empty[String, String]
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     for (m0 <- matches) {
       var m = m0
       if (m.startsWith("\"") || m.startsWith("'")) m = m.substring(1)
       if (m.endsWith("\"") || m.endsWith("'")) m = m.substring(0, m.length - 1)
       if (m.nonEmpty) {
-        val localUrl = getLocalUrl(ctx, subresourceDir, m, res.url, depth)
-        if (localUrl != m) content = content.replace(m, localUrl)
+        val localUrl = firstLocal.getOrElseUpdate(m,
+          getLocalUrl(ctx, subresourceDir, m, res.url, depth))
+        if (localUrl != m) resolved += ((m, localUrl))
       }
     }
-    output.append(content)
+    if (resolved.isEmpty) { output.append(content); return }
+    val distinct = resolved.distinct.toIndexedSeq
+    // a DUPLICATED match is one-pass-safe only if its replacement contains
+    // no match string at all (else its second sequential replace rewrites
+    // text the first one inserted)
+    val dupSafe = distinct.length == resolved.length || {
+      val counts = resolved.groupBy(_._1)
+      resolved.forall { case (m, local) =>
+        counts(m).length == 1 || distinct.forall { case (m2, _) => !local.contains(m2) }
+      }
+    }
+    if (!dupSafe || !onePassCssSplice(content, distinct, output)) {
+      // exact reference behavior (per-occurrence sequential replaces) for
+      // the cases the guards cannot prove
+      for ((m, local) <- resolved) content = content.replace(m, local)
+      output.append(content)
+    }
+  }
+
+  /** Appends `content` with every occurrence of each match string replaced
+    * — equivalent to the sequential global-replace chain — and returns
+    * true, IF equivalence is provable:
+    *  (1) no replacement contains ANOTHER match string (else a later
+    *      sequential replace would rewrite inserted text; a replacement
+    *      containing ITS OWN match is fine — String.replace never rescans
+    *      its own insertions within one call);
+    *  (2) no match string is a substring of another (else which one wins
+    *      depends on list order);
+    *  (3) no two occurrences of different matches overlap in the original
+    *      content (else the earlier-REPLACED one consumes the other).
+    * Under (1)-(3) every sequential replace touches exactly the original
+    * occurrences of its own match, so the final string is a single splice.
+    * Returns false (output untouched) when any guard fails.
+    * Property-tested against the sequential fold over adversarial inputs. */
+  private[core] def onePassCssSplice(content: String, repl: IndexedSeq[(String, String)],
+                                     output: StringBuilder): Boolean = {
+    val k = repl.length
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j < k) {
+        if (i != j &&
+            (repl(i)._2.contains(repl(j)._1) || repl(i)._1.contains(repl(j)._1)))
+          return false
+        j += 1
+      }
+      i += 1
+    }
+    // all occurrences of every match in the ORIGINAL content, left-to-right
+    // non-overlapping per match (String.replace semantics)
+    var occ = List.empty[(Int, Int, Int)] // (start, end, replIdx)
+    i = 0
+    while (i < k) {
+      val m = repl(i)._1
+      var from = content.indexOf(m)
+      while (from >= 0) {
+        occ = (from, from + m.length, i) :: occ
+        from = content.indexOf(m, from + m.length)
+      }
+      i += 1
+    }
+    val sorted = occ.sortBy(_._1).toIndexedSeq
+    var p = 0
+    while (p + 1 < sorted.length) {
+      if (sorted(p + 1)._1 < sorted(p)._2) return false // overlap: order-dependent
+      p += 1
+    }
+    var pos = 0
+    p = 0
+    val jsb = output.underlying // scala StringBuilder lacks the 3-arg
+    while (p < sorted.length) { // (CharSequence, from, to) append overload
+      val (s, e, idx) = sorted(p)
+      jsb.append(content, pos, s)
+      output.append(repl(idx)._2)
+      pos = e
+      p += 1
+    }
+    jsb.append(content, pos, content.length)
+    true
   }
 
   // --- HTML (util.py:22-221, 279-311) ------------------------------------------

@@ -66,6 +66,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("css one-pass splice == sequential global replace whenever it claims equivalence") {
+    // tiny alphabet forces frequent substring/overlap/containment collisions,
+    // exercising every guard
+    val tok = Gen.oneOf("a", "b", "ab", "ba", "a.p", "x/a.p", ".", "/")
+    val gen: Gen[(String, IndexedSeq[(String, String)])] = for {
+      content <- Gen.listOf(tok).map(_.mkString)
+      n <- Gen.choose(0, 4)
+      repl <- Gen.listOfN(n, for { m <- tok; r <- tok } yield (m, r))
+    } yield (content, repl.filter { case (m, r) => m.nonEmpty && m != r }
+               .distinctBy(_._1).toIndexedSeq)
+    var accepted = 0
+    forAll(gen) { case (content, repl) =>
+      val out = new StringBuilder
+      if (Rewriter.onePassCssSplice(content, repl, out)) {
+        accepted += 1
+        var c = content
+        for ((m, r) <- repl) c = c.replace(m, r)
+        assert(out.toString == c,
+          s"splice mismatch for content='$content' repl=$repl: got '${out.toString}' want '$c'")
+      }
+    }
+    assert(accepted > 10, s"guards too conservative: only $accepted accepted samples")
+  }
+
+  test("css duplicate-match double-rewrite parity (reference sequential semantics)") {
+    // the reference replaces per match OCCURRENCE: a duplicated relative url
+    // whose local path contains the match string gets rewritten TWICE
+    // (verified against CPython: 'a.png' -> 'page_files/page_files/a.png')
+    import graft.model.{WArchive, WResource}
+    val png = WResource(Array[Byte](1, 2, 3), "image/png", "https://h.x/d/a.png", None, None)
+    val mainRes = WResource("<html></html>".getBytes("UTF-8"), "text/html",
+      "https://h.x/d/index.html", Some("utf-8"), None)
+    val ctx = new Rewriter.ArchiveCtx(WArchive(mainRes, Vector(png), Vector.empty))
+    def css(body: String) = WResource(body.getBytes("UTF-8"), "text/css",
+      "https://h.x/d/style.css", Some("utf-8"), None)
+    val out = new StringBuilder
+    Rewriter.processCssResource(ctx,
+      css(".a{background:url(a.png)} .b{background:url(a.png)}"), out, "page_files", 0)
+    assert(out.toString ==
+      ".a{background:url(page_files/page_files/a.png)} .b{background:url(page_files/page_files/a.png)}")
+    // a SINGLE occurrence is rewritten once (String.replace never rescans
+    // its own insertion within one call)
+    val out1 = new StringBuilder
+    Rewriter.processCssResource(ctx, css(".a{background:url(a.png)}"), out1, "page_files", 0)
+    assert(out1.toString == ".a{background:url(page_files/a.png)}")
+  }
+
   test("canonicalize is idempotent") {
     forAll(urlGen) { u =>
       PyUrl.canonicalize(u) match {

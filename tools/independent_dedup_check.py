@@ -105,6 +105,15 @@ def _self_check():
     assert xxh64_long(123) == -3178482946328430151
     assert xxh64_long(-5) == -5259934538394028452
     assert xxh64_long(0) == -5252525462095825812
+    # murmur3_128().hashString(...).asLong() / Fingerprint64Expr.fingerprint
+    # reference values dumped from the JVM
+    assert murmur3_128_aslong(b"hello") == -3758069500696749310
+    assert murmur3_128_aslong(b"") == 0
+    assert murmur3_128_aslong(
+        b"the quick brown fox jumps over the lazy dog") == -4835482818955082061
+    assert fingerprint64("Hello World") == 489787648512003106
+    assert fingerprint64(" ".join(
+        f"tok{i} word{i % 7}" for i in range(1, 31))) == -3802809361477636212
 
 
 # ------------------------------------------------------------ algorithms ----
@@ -233,8 +242,83 @@ def main():
     # ---- ANN: exact brute-force ground truth + hyperplane-LSH replication
     check_ann(sf, check)
 
+    # ---- text_fingerprint: pinned (distinct_fps=481, n=500)
+    fps = {fingerprint64(t) for _, t in rows}
+    check("text_fingerprint replication", (len(fps), len(rows)), (481, 500))
+
     print(f"== {failures} failures ==")
     sys.exit(1 if failures else 0)
+
+
+# --------------------------------------------------- winnowing fingerprint ----
+def _mm_rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M
+
+
+def _mm_fmix(k):
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & M
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & M
+    k ^= k >> 33
+    return k
+
+
+def murmur3_128_aslong(data: bytes, seed: int = 0) -> int:
+    """murmur3 x64 128-bit; returns Guava's asLong() (first 8 hash bytes =
+    h1) as a SIGNED 64-bit. Self-checked against JVM reference values."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16:i * 16 + 8], 'little')
+        k2 = int.from_bytes(data[i * 16 + 8:i * 16 + 16], 'little')
+        k1 = (k1 * c1) & M; k1 = _mm_rotl(k1, 31); k1 = (k1 * c2) & M; h1 ^= k1
+        h1 = _mm_rotl(h1, 27); h1 = (h1 + h2) & M; h1 = (h1 * 5 + 0x52DCE729) & M
+        k2 = (k2 * c2) & M; k2 = _mm_rotl(k2, 33); k2 = (k2 * c1) & M; h2 ^= k2
+        h2 = _mm_rotl(h2, 31); h2 = (h2 + h1) & M; h2 = (h2 * 5 + 0x38495AB5) & M
+    tail = data[nblocks * 16:]
+    tl = len(tail)
+    k1 = k2 = 0
+    for i in range(tl - 1, 7, -1):
+        k2 |= tail[i] << ((i - 8) * 8)
+    if tl > 8:
+        k2 = (k2 * c2) & M; k2 = _mm_rotl(k2, 33); k2 = (k2 * c1) & M; h2 ^= k2
+    for i in range(min(tl, 8) - 1, -1, -1):
+        k1 |= tail[i] << (i * 8)
+    if tl > 0:
+        k1 = (k1 * c1) & M; k1 = _mm_rotl(k1, 31); k1 = (k1 * c2) & M; h1 ^= k1
+    h1 ^= n; h2 ^= n
+    h1 = (h1 + h2) & M; h2 = (h2 + h1) & M
+    h1 = _mm_fmix(h1); h2 = _mm_fmix(h2)
+    h1 = (h1 + h2) & M
+    return h1 - (1 << 64) if h1 >= (1 << 63) else h1
+
+
+def _splitmix(h0):
+    h = (h0 + 0x9E3779B97F4A7C15) & M
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+    return h ^ (h >> 31)
+
+
+def fingerprint64(text: str) -> int:
+    """Fingerprint64Expr: splitmix fold over the 8 smallest murmur3 hashes
+    of the 5-gram token windows (ascending)."""
+    toks = text.lower().split()
+    k = 5
+    if len(toks) >= k:
+        grams = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    hashes = sorted(murmur3_128_aslong(g.encode('utf-8')) for g in grams)
+    mins = hashes[:8]
+    acc = 0x27D4EB2F165667C5
+    for m in mins:
+        acc_s = acc - (1 << 64) if acc >= (1 << 63) else acc
+        acc = _splitmix((acc_s ^ m) & M)
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
 # ----------------------------------------------------------------- ANN ----

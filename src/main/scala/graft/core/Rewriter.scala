@@ -300,13 +300,16 @@ object Rewriter {
     }
     if (resolved.isEmpty) { output.append(content); return }
     val distinct = resolved.distinct.toIndexedSeq
-    // a DUPLICATED match is one-pass-safe only if its replacement contains
-    // no match string at all (else its second sequential replace rewrites
-    // text the first one inserted)
+    // a DUPLICATED match is one-pass-safe only if its replacement can
+    // neither contain NOR border-form any match string — its own included
+    // (else a later sequential replace entry for the same match rewrites
+    // text the first one inserted or junction-formed)
     val dupSafe = distinct.length == resolved.length || {
       val counts = resolved.groupBy(_._1)
       resolved.forall { case (m, local) =>
-        counts(m).length == 1 || distinct.forall { case (m2, _) => !local.contains(m2) }
+        counts(m).length == 1 || distinct.forall { case (m2, _) =>
+          !local.contains(m2) && !canBorderForm(local, m2)
+        }
       }
     }
     if (!dupSafe || !onePassCssSplice(content, distinct, output)) {
@@ -315,6 +318,26 @@ object Rewriter {
       for ((m, local) <- resolved) content = content.replace(m, local)
       output.append(content)
     }
+  }
+
+  /** True if an inserted string `r` could participate in an occurrence of
+    * match `m` that extends BEYOND `r` itself (a junction with adjacent
+    * text): `r` empty (deletion joins its neighbors), `r` inside `m`
+    * (incl. equality — the occurrence straddles both ends), a nonempty
+    * proper suffix of `r` equals a prefix of `m`, or a nonempty proper
+    * prefix of `r` equals a suffix of `m`. Cheap: bounded by min(|r|,|m|)²
+    * with |m| a url() operand (short); |r| may be a multi-KB data URI but
+    * only its first/last min-1 chars are examined. */
+  private def canBorderForm(r: String, m: String): Boolean = {
+    if (r.isEmpty || m.contains(r)) return true
+    val lim = math.min(r.length, m.length)
+    var L = 1
+    while (L < lim) {
+      if (r.regionMatches(r.length - L, m, 0, L) ||
+          r.regionMatches(0, m, m.length - L, L)) return true
+      L += 1
+    }
+    false
   }
 
   /** Appends `content` with every occurrence of each match string replaced
@@ -327,9 +350,23 @@ object Rewriter {
     *  (2) no match string is a substring of another (else which one wins
     *      depends on list order);
     *  (3) no two occurrences of different matches overlap in the original
-    *      content (else the earlier-REPLACED one consumes the other).
-    * Under (1)-(3) every sequential replace touches exactly the original
-    * occurrences of its own match, so the final string is a single splice.
+    *      content (else the earlier-REPLACED one consumes the other);
+    *  (4) JUNCTION guard: no replacement r_i can combine with ADJACENT text
+    *      to form an occurrence of another match m_j — i.e. no nonempty
+    *      proper suffix of r_i is a prefix of m_j, no nonempty proper
+    *      prefix of r_i is a suffix of m_j, r_i is not a substring of m_j,
+    *      and no replacement is empty. Without (4) a sequential replace
+    *      rewrites junction-formed occurrences the splice cannot see:
+    *      a comment holding './x.png' plus `url(./x) url(d/x.png)` where
+    *      './x' resolves to 'https://h.x/d/x' — the sequential chain turns
+    *      the comment text into '.../d/x.png' and the later
+    *      replace('d/x.png', ...) rewrites it.
+    * Under (1)-(4) every occurrence any sequential replace sees maps to an
+    * original occurrence of its own match (inserted text can neither
+    * contain nor border-form a later match), so the final string is a
+    * single splice. (4) skips i==j: an insertion is never rescanned within
+    * its own replace call, and no LATER step replaces the same match — the
+    * common 'a.png'→'dir/a.png' self-suffix case stays one-pass.
     * Returns false (output untouched) when any guard fails.
     * Property-tested against the sequential fold over adversarial inputs. */
   private[core] def onePassCssSplice(content: String, repl: IndexedSeq[(String, String)],
@@ -339,9 +376,12 @@ object Rewriter {
     while (i < k) {
       var j = 0
       while (j < k) {
-        if (i != j &&
-            (repl(i)._2.contains(repl(j)._1) || repl(i)._1.contains(repl(j)._1)))
-          return false
+        if (i != j) {
+          val r = repl(i)._2
+          val m = repl(j)._1
+          if (r.contains(m) || repl(i)._1.contains(m)) return false
+          if (canBorderForm(r, m)) return false // guard (4)
+        }
         j += 1
       }
       i += 1

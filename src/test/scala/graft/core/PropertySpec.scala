@@ -90,6 +90,53 @@ class PropertySpec extends AnyFunSuite {
     assert(accepted > 10, s"guards too conservative: only $accepted accepted samples")
   }
 
+  test("css splice junction guard: replacement boundary + adjacent text forming another match") {
+    // r0='b' junction: 'a' + r0 would form m1='ab' which the sequential
+    // chain rewrites — the splice must refuse (canBorderForm: 'ab' ∋ 'b')
+    val out = new StringBuilder
+    assert(!Rewriter.onePassCssSplice("a.", IndexedSeq(("." -> "b"), ("ab" -> "X")), out))
+    assert(out.isEmpty)
+    // suffix-of-replacement == prefix-of-other-match (the ADVICE shape):
+    // r0 ends 'd/x', m1 starts 'd/x' → junction possible → refuse
+    assert(!Rewriter.onePassCssSplice("url(./x) url(d/x.png)",
+      IndexedSeq(("./x" -> "https://h.x/d/x"), ("d/x.png" -> "pf/x.png")), out))
+    // prefix-of-replacement == suffix-of-other-match → refuse
+    assert(!Rewriter.onePassCssSplice("u v",
+      IndexedSeq(("u" -> "w!"), ("v w" -> "z")), out))
+    // replacement strictly inside another match (straddles both ends) → refuse
+    assert(!Rewriter.onePassCssSplice("q r",
+      IndexedSeq(("q" -> "o"), ("xoy" -> "z")), out))
+    // empty replacement (deletion joins neighbors) → refuse
+    assert(!Rewriter.onePassCssSplice("a.b", IndexedSeq(("." -> ""), ("ab" -> "X")), out))
+    // and a junction-free pair is still accepted one-pass
+    assert(Rewriter.onePassCssSplice("url(one) url(two)",
+      IndexedSeq(("one" -> "pf/1.css"), ("two" -> "pf/2.css")), out))
+    assert(out.toString == "url(pf/1.css) url(pf/2.css)")
+  }
+
+  test("css junction rewrite parity end-to-end (ADVICE r3: comment text re-formed by splice miss)") {
+    // util.py:236-276 sequential semantics: replace('./x','https://h.x/d/x')
+    // rewrites the COMMENT's './x.png' too, and the later
+    // replace('d/x.png', ...) then rewrites the junction-formed 'd/x.png'
+    // inside the rewritten comment. Byte parity requires the sequential path.
+    import graft.model.{WArchive, WResource}
+    val png = WResource(Array[Byte](9), "image/png", "https://h.x/d/d/x.png", None, None)
+    val mainRes = WResource("<html></html>".getBytes("UTF-8"), "text/html",
+      "https://h.x/d/index.html", Some("utf-8"), None)
+    val ctx = new Rewriter.ArchiveCtx(WArchive(mainRes, Vector(png), Vector.empty))
+    val css = WResource(
+      "/* ./x.png */ .a{background:url(./x)} .b{background:url(d/x.png)}".getBytes("UTF-8"),
+      "text/css", "https://h.x/d/style.css", Some("utf-8"), None)
+    val out = new StringBuilder
+    Rewriter.processCssResource(ctx, css, out, "page_files", 0)
+    // sequential chain: './x' -> absolute fallback 'https://h.x/d/x'
+    // (comment becomes '/* https://h.x/d/x.png */'), then 'd/x.png' ->
+    // 'page_files/x.png' rewrites BOTH the url() and the junction in the
+    // comment
+    assert(out.toString ==
+      "/* https://h.x/page_files/x.png */ .a{background:url(https://h.x/d/x)} .b{background:url(page_files/x.png)}")
+  }
+
   test("css duplicate-match double-rewrite parity (reference sequential semantics)") {
     // the reference replaces per match OCCURRENCE: a duplicated relative url
     // whose local path contains the match string gets rewritten TWICE

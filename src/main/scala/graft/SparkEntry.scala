@@ -269,7 +269,10 @@ object SparkEntry {
       CrawlJob.runEpoch(s, store, pages, robots, cfg)
       CrawlJob.runEpoch(s, store, pages, robots, cfg)
       val snap = store.latest().get
-      s.read.parquet(snap.tables("scheduled")).select("epoch", "seq", "url").orderBy("epoch", "seq")
+      // 'scheduled' is an append-segment table: the manifest carries BOTH
+      // epochs' dirs (';'-joined), so the oracle sees the full crawl order
+      s.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
+        .select("epoch", "seq", "url").orderBy("epoch", "seq")
     }),
 
     "extract_files_manifest" -> ((s, d) => {
@@ -661,7 +664,17 @@ object SparkEntry {
          ('host98.example', 3),
          ('host99.example', 4)) AS t(host, n)""",
     "crawl_schedule" ->
-      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'https://host0.example/p5f5.html'),
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'https://host0.example/p3d5/p2b5.html'),
+         (0, 0, 'https://host3.example/pdd7/paca.html'),
+         (0, 0, 'https://host34.example/p185.html'),
+         (0, 0, 'https://host44.example/p915.html'),
+         (0, 0, 'https://host17.example/p3f4/pf00/pbe6/p517.html'),
+         (0, 0, 'https://host97.example/p50/p49a/pb29/pd3.html'),
+         (0, 0, 'https://host1.example/pea1/p437/p51.html'),
+         (0, 0, 'https://host60.example/pf61/pf69/p538/p9d9.html'),
+         (0, 0, 'https://host7.example/p49a/p50.html'),
+         (0, 1, 'https://host3.example/pc34.html'),
+         (1, 0, 'https://host0.example/p5f5.html'),
          (1, 0, 'https://host2.example/pa06/pb8d/p85b.html'),
          (1, 0, 'https://host22.example/p768.html'),
          (1, 0, 'https://host26.example/p1c5/p1e.html'),

@@ -39,33 +39,6 @@ object Scheduler {
   private def salt(url: String, factor: Int): Int =
     (((url.hashCode.toLong % factor) + factor) % factor).toInt
 
-  /** Dequeue the per-epoch batch: at most budget per host, deterministic. */
-  def dequeue(spark: SparkSession, candidates: Dataset[Candidate], cfg: Config): Dataset[Candidate] = {
-    import spark.implicits._
-    dequeueWithBudget(spark, candidates.map(c => (c, cfg.perHostBudget)), cfg)
-  }
-
-  /** Dequeue with a per-host budget attached to every candidate (politeness
-    * crawl-delay modulation; budget uniform within a host). */
-  def dequeueWithBudget(spark: SparkSession, candidates: Dataset[(Candidate, Int)],
-                        cfg: Config): Dataset[Candidate] = {
-    import spark.implicits._
-    val partial = candidates
-      .groupByKey { case (c, _) => (c.host, salt(c.url, cfg.saltFactor)) }
-      .flatMapGroups { (_, it) =>
-        val buf = it.buffered
-        val budget = math.min(cfg.perHostBudget, math.max(1, buf.head._2))
-        topK(budget, buf.map(_._1)).map(c => (c, budget))
-      }
-    partial
-      .groupByKey(_._1.host)
-      .flatMapGroups { (_, it) =>
-        val buf = it.buffered
-        val budget = math.min(cfg.perHostBudget, math.max(1, buf.head._2))
-        topK(budget, buf.map(_._1))
-      }
-  }
-
   /** Dequeue with the within-host rank attached: the final top-k emits in
     * (priority DESC, url ASC) order per host, so the rank is free — no
     * global sort/zipWithIndex pass needed for a deterministic total order
@@ -89,11 +62,4 @@ object Scheduler {
       }
   }
 
-  /** The residual frontier: everything not scheduled. Computed as a
-    * left-anti join on url (scheduled is small: hosts * budget). */
-  def residual(spark: SparkSession, candidates: Dataset[Candidate],
-               scheduled: Dataset[Candidate]): Dataset[Candidate] = {
-    import spark.implicits._
-    candidates.join(scheduled.select("url"), Seq("url"), "left_anti").as[Candidate]
-  }
 }

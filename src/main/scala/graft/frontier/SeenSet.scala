@@ -86,47 +86,6 @@ object SeenSet {
       }
   }
 
-  /** Merge newly seen urls into existing blooms (missing buckets created).
-    * Requires equal-capacity filters (same cfg) — used for full-table
-    * merges; the epoch path appends [[buildDeltaBlooms]] segments instead. */
-  def mergeBlooms(spark: SparkSession, old: Dataset[BucketBloom],
-                  newUrls: Dataset[String], cfg: Config): Dataset[BucketBloom] = {
-    import spark.implicits._
-    val fresh = buildBlooms(spark, newUrls, cfg)
-    old.groupByKey(_.bucket).cogroup(fresh.groupByKey(_.bucket)) { (bucket, os, ns) =>
-      val o = os.toSeq.headOption
-      val n = ns.toSeq.headOption
-      (o, n) match {
-        case (Some(a), Some(b)) =>
-          val bf = deserialize(a.bytes); bf.mergeInPlace(deserialize(b.bytes))
-          Iterator(BucketBloom(bucket, serialize(bf)))
-        case (Some(a), None) => Iterator(a)
-        case (None, Some(b)) => Iterator(b)
-        case (None, None)    => Iterator.empty
-      }
-    }
-  }
-
-  /** Split candidates by bloom verdict: (definitelyNew, maybeSeen).
-    * One shuffle by bucket; each bucket's filter meets its candidates in a
-    * single task (no broadcast). */
-  def bloomSplit(spark: SparkSession, candidates: Dataset[Candidate],
-                 blooms: Dataset[BucketBloom], cfg: Config)
-      : (Dataset[Candidate], Dataset[Candidate]) = {
-    import spark.implicits._
-    val marked: Dataset[(Candidate, Boolean)] =
-      candidates.groupByKey(c => bucketOfUrl(c.url, cfg.numBuckets))
-        .cogroup(blooms.groupByKey(_.bucket)) { (bucket, cs, bs) =>
-          // a bucket may carry several delta-segment filters (LSM shape);
-          // maybe-seen = contained in ANY segment (no false negatives)
-          val fs = bs.filter(_.bytes.nonEmpty).map(b => deserialize(b.bytes)).toArray
-          if (fs.isEmpty) cs.map(c => (c, false)) // empty bucket: all new
-          else cs.map(c => (c, fs.exists(_.mightContainString(c.url))))
-        }
-    val cached = marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (cached.filter(!_._2).map(_._1), cached.filter(_._2).map(_._1))
-  }
-
   /** Deterministic per-url reducer shared with the oracle: priority DESC,
     * retries DESC, discoveredEpoch ASC (total tie-breaks: replay-exact). */
   def reduceCandidates(a: Candidate, b: Candidate): Candidate =
@@ -178,29 +137,24 @@ object SeenSet {
     // job only when there are enough buckets for the prune to skip real
     // I/O (the 10^10 sizing uses 4096; tests/bench use 8-32 where every
     // bucket is hot anyway)
-    val prunedSeen = if (cfg.numBuckets > 64) {
+    val pruned = if (cfg.numBuckets > 64) {
       val hotBuckets = maybe.map(c => bucketOfUrl(c.url, cfg.numBuckets)).distinct().collect()
-      if (hotBuckets.length < cfg.numBuckets)
-        seen.filter(col("bucket").isin(hotBuckets.map(Integer.valueOf).toIndexedSeq: _*))
-      else seen
+      prunedSeen(seen, hotBuckets, cfg.numBuckets)
     } else seen
-    val survived = maybe.join(prunedSeen.select(col("url")), Seq("url"), "left_anti").as[Candidate]
+    val survived = maybe.join(pruned.select(col("url")), Seq("url"), "left_anti").as[Candidate]
     definitelyNew.unionByName(survived)
   }
 
-  /** candidates EXCEPT seen: bloom prefilter + partition-pruned anti-join.
-    * `seen` must carry (url, bucket) columns, stored partitioned by bucket. */
-  def filterNew(spark: SparkSession, candidates: Dataset[Candidate],
-                seen: DataFrame, blooms: Dataset[BucketBloom], cfg: Config): Dataset[Candidate] = {
-    import spark.implicits._
-    val (definitelyNew, maybe) = bloomSplit(spark, candidates, blooms, cfg)
-    // partition-prune the seen read to buckets that contain maybe-hits
-    val hotBuckets = maybe.map(c => bucketOfUrl(c.url, cfg.numBuckets)).distinct().collect()
-    val prunedSeen =
-      if (hotBuckets.length < cfg.numBuckets)
-        seen.filter(col("bucket").isin(hotBuckets.map(Integer.valueOf).toIndexedSeq: _*))
-      else seen
-    val survived = maybe.join(prunedSeen.select(col("url")), Seq("url"), "left_anti").as[Candidate]
-    definitelyNew.unionByName(survived)
-  }
+  /** The exact seen-table read restricted to the buckets that actually
+    * contain bloom maybe-hits. With the table stored `partitionBy("bucket")`
+    * the IN-filter lands as a parquet PARTITION filter, so every other
+    * bucket directory is skipped entirely — at the 4096-bucket 10^10 sizing
+    * the anti-join reads only the touched slivers of the multi-TB seen
+    * table. Exposed for the pruning spec (plan + scanned-partition
+    * assertions). */
+  private[graft] def prunedSeen(seen: DataFrame, hotBuckets: Array[Int],
+                                numBuckets: Int): DataFrame =
+    if (hotBuckets.length < numBuckets)
+      seen.filter(col("bucket").isin(hotBuckets.map(Integer.valueOf).toIndexedSeq: _*))
+    else seen
 }

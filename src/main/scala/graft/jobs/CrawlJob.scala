@@ -31,7 +31,14 @@ object CrawlJob {
       maxRetries: Int = 2,
       epochWindowSec: Double = 10.0,
       linkPriorityDecay: Double = 0.5,
-      shufflePartitions: Int = 32)
+      shufflePartitions: Int = 32,
+      // snapshots retained by the per-epoch expire (Iceberg
+      // expire_snapshots analog); <= 0 disables GC. Resume only ever reads
+      // the LATEST manifest, so any retain >= 1 keeps resume exact; 3 keeps
+      // two rollback points. Without this the store grows without bound:
+      // every epoch writes a full frontier version (the largest state
+      // table) and compacted-away bloom generations are never reclaimed.
+      retainSnapshots: Int = 3)
 
   final case class EpochResult(
       epoch: Long,
@@ -238,8 +245,18 @@ object CrawlJob {
     // schedules concurrent jobs fine; on a cluster this overlaps commit
     // latencies the same way). This cut the per-epoch serial write tail,
     // the dominant fixed cost at sandbox epoch sizes.
-    val extractedEntry = timedWrite("extracted",
-      extractedAll.filter(col("__hit")).select("epoch", "seq", "url", "extracted_html", "text"))
+    // scheduled/lineage/extracted are APPEND tables: the manifest carries
+    // every epoch's segment (';'-joined, like seen/blooms), so the crawl's
+    // full product stays referenced — and therefore alive — across
+    // snapshot expiry. Only full-rewrite state versions (frontier,
+    // compacted blooms) become unreferenced garbage for expire() to reap.
+    def appendSeg(name: String, path: String): String =
+      snap.tables.get(name).map(_ + ";" + path).getOrElse(path)
+    val extractedEntry = {
+      val (n, p) = timedWrite("extracted",
+        extractedAll.filter(col("__hit")).select("epoch", "seq", "url", "extracted_html", "text"))
+      n -> appendSeg(n, p)
+    }
 
     // Swap the epoch cache for a SLIM projection: every pass after the
     // extracted write (outlink discovery, retry routing, lineage, the
@@ -325,32 +342,47 @@ object CrawlJob {
           nextFrontier.toDF().coalesce(cfg.shufflePartitions))
       }
       val fScheduled = Future {
-        "scheduled" -> store.writeTable("scheduled", epoch, scheduledSeq.toDF())
+        "scheduled" -> appendSeg("scheduled",
+          store.writeTable("scheduled", epoch, scheduledSeq.toDF()))
       }
       val fLineage = Future {
-        "lineage" -> store.writeTable("lineage", epoch, lineage.toDF())
+        "lineage" -> appendSeg("lineage",
+          store.writeTable("lineage", epoch, lineage.toDF()))
       }
-      // seen delta must land before a bloom compaction can read it
+      // blooms are append-only delta segments (each sized to its actual
+      // insert count); every maxBloomSegments epochs a MAJOR COMPACTION
+      // rewrites BOTH LSM structures — the whole seen table as ONE
+      // bucket-partitioned segment and full-capacity bloom filters rebuilt
+      // from it — bounding the per-bucket segment-union fpp, the read
+      // fan-in, AND the manifest's segment-list length, at an amortized
+      // 1/maxBloomSegments of a full seen pass per epoch. The bucket
+      // partitioning is what turns the >64-bucket pruned anti-join
+      // (SeenSet.prunedSeen) into a parquet DIRECTORY prune; the small
+      // inter-compaction deltas stay unpartitioned (LSM memtable shape) and
+      // are merely row-filtered. expire() reclaims the superseded delta
+      // dirs once the manifests referencing them age out.
       val fSeenBlooms = Future {
-        val deltaPath = store.writeTable("seen", epoch, seenDelta)
-        val seenPaths = snap.tables("seen") + ";" + deltaPath
-        // blooms are ALSO append-only delta segments (each sized to its
-        // actual insert count); every maxBloomSegments epochs a major
-        // compaction rebuilds full-capacity filters from the seen table —
-        // bounding both the per-bucket segment-union fpp and the read
-        // fan-in, at an amortized 1/maxBloomSegments of a full seen pass
-        // per epoch.
         val oldSegs = snap.tables("blooms")
-        val bloomsEntry: (String, String) =
-          if (oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments) {
-            val allSeen = spark.read.parquet(seenPaths.split(";").toIndexedSeq: _*)
-            val full = SeenSet.buildBlooms(spark, allSeen.select("url").as[String], cfg.seen)
-            "blooms" -> store.writeTable("blooms", epoch, full.toDF())
-          } else {
-            val delta = SeenSet.buildDeltaBlooms(spark, newlySeen, cfg.seen)
-            "blooms" -> (oldSegs + ";" + store.writeTable("blooms", epoch, delta.toDF()))
-          }
-        Seq("seen" -> seenPaths, bloomsEntry)
+        if (oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments) {
+          val allSeen = snap.tables("seen").split(";").toIndexedSeq
+            .map(spark.read.parquet(_)).reduce(_ unionByName _)
+            .unionByName(seenDelta)
+          // repartition by bucket: ~one file per bucket dir, not one per
+          // shuffle task per dir
+          val compacted =
+            if (allSeen.isEmpty) store.writeTable("seen", epoch, seenDelta.repartition(1))
+            else store.writeTable("seen", epoch,
+              allSeen.repartition(cfg.shufflePartitions, col("bucket")), Seq("bucket"))
+          val full = SeenSet.buildBlooms(spark,
+            spark.read.parquet(compacted).select("url").as[String], cfg.seen)
+          Seq("seen" -> compacted,
+              "blooms" -> store.writeTable("blooms", epoch, full.toDF()))
+        } else {
+          val deltaPath = store.writeTable("seen", epoch, seenDelta)
+          val delta = SeenSet.buildDeltaBlooms(spark, newlySeen, cfg.seen)
+          Seq("seen" -> (snap.tables("seen") + ";" + deltaPath),
+              "blooms" -> (oldSegs + ";" + store.writeTable("blooms", epoch, delta.toDF())))
+        }
       }
       val entries = Seq(extractedEntry, Await.result(fFrontier, Duration.Inf),
         Await.result(fScheduled, Duration.Inf), Await.result(fLineage, Duration.Inf)) ++
@@ -376,6 +408,9 @@ object CrawlJob {
       "retried" -> retriedCount, "discovered" -> discoveredCount,
       "frontierSize" -> frontierSize)
     store.commit(epoch, tables, counters)
+    // snapshot GC: bounded state store — superseded frontier versions,
+    // compacted-away bloom generations, crash orphans (epoch <= committed)
+    if (cfg.retainSnapshots > 0) store.expire(cfg.retainSnapshots)
 
     Seq(frontier.toDF(), unseen.toDF(), gated, allowed.toDF(), scheduled.toDF(),
         scheduledSeq.toDF(), slim, nextFrontier.toDF())

@@ -19,6 +19,19 @@ trait FrontierStore {
   def commit(epoch: Long, tables: Map[String, String], counters: Map[String, Long]): Unit
   def latest(): Option[Snapshot]
   def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame
+
+  /** Iceberg `expire_snapshots` analog: keep the newest `retain` committed
+    * manifests, delete the older ones, then delete every table-version dir
+    * referenced by NO retained manifest. Append-segment tables (seen,
+    * blooms, scheduled, lineage, extracted) keep their full history because
+    * the retained manifests reference every live segment; only superseded
+    * full-rewrite versions (frontier, pre-compaction bloom generations) and
+    * crash-orphaned uncommitted dirs are reclaimed. Safe against an
+    * in-flight epoch: an uncommitted dir is only reaped when its epoch is
+    * <= the latest COMMITTED epoch (an in-progress epoch is strictly
+    * newer, so its pre-commit writes are never touched).
+    * Returns (manifestsDeleted, tableDirsDeleted). */
+  def expire(retain: Int): (Int, Int)
 }
 
 final case class Snapshot(epoch: Long, tables: Map[String, String], counters: Map[String, Long])
@@ -56,26 +69,109 @@ final class ParquetSnapshotStore(root: String) extends FrontierStore {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  override def latest(): Option[Snapshot] = {
-    if (!Files.isDirectory(rootPath)) return None
-    var bestEpoch = Long.MinValue
-    var bestFile: java.nio.file.Path = null
-    // Files.list holds an open directory handle until closed — this runs
-    // at least once per epoch, so an unclosed stream leaks an fd per epoch
+  /** All committed manifests as (epoch, file). Files.list holds an open
+    * directory handle until closed — this runs at least once per epoch, so
+    * an unclosed stream would leak an fd per epoch. */
+  private def listManifests(): Vector[(Long, java.nio.file.Path)] = {
+    if (!Files.isDirectory(rootPath)) return Vector.empty
+    val out = Vector.newBuilder[(Long, java.nio.file.Path)]
     val stream = Files.list(rootPath)
     try {
-      val manifests = stream.iterator()
-      while (manifests.hasNext) {
-        val p = manifests.next()
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
         val n = p.getFileName.toString
-        if (n.startsWith("manifest-") && n.endsWith(".json")) {
-          val e = n.stripPrefix("manifest-").stripSuffix(".json").toLong
-          if (e > bestEpoch) { bestEpoch = e; bestFile = p }
-        }
+        if (n.startsWith("manifest-") && n.endsWith(".json"))
+          out += ((n.stripPrefix("manifest-").stripSuffix(".json").toLong, p))
       }
     } finally stream.close()
-    if (bestFile == null) None
-    else Some(parseManifest(new String(Files.readAllBytes(bestFile), StandardCharsets.UTF_8)))
+    out.result()
+  }
+
+  override def latest(): Option[Snapshot] = {
+    val ms = listManifests()
+    if (ms.isEmpty) None
+    else {
+      val best = ms.maxBy(_._1)._2
+      Some(parseManifest(new String(Files.readAllBytes(best), StandardCharsets.UTF_8)))
+    }
+  }
+
+  override def expire(retain: Int): (Int, Int) = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val ms = listManifests().sortBy(-_._1)
+    if (ms.isEmpty) return (0, 0)
+    val latestCommitted = ms.head._1
+    val (retained, expired) = ms.splitAt(retain)
+    // every table-version dir any retained manifest references stays live
+    // — including old epochs' append segments (';'-joined lists)
+    val referenced = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+    for ((_, mf) <- retained) {
+      val snap = parseManifest(new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
+      for ((_, v) <- snap.tables; seg <- v.split(";") if seg.nonEmpty)
+        referenced += Paths.get(seg).toAbsolutePath.normalize
+    }
+    // manifests first: after this point no surviving manifest references a
+    // dir the next step deletes (a crash in between only leaves
+    // unreferenced dirs, reaped by the next expire)
+    expired.foreach { case (_, p) => Files.deleteIfExists(p) }
+    // tmp files from crashed commits at committed-or-older epochs
+    val tmpStream = Files.list(rootPath)
+    try {
+      val it = tmpStream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(".manifest-") && n.endsWith(".json.tmp") &&
+            scala.util.Try(n.stripPrefix(".manifest-").stripSuffix(".json.tmp").toLong)
+              .toOption.exists(_ <= latestCommitted))
+          Files.deleteIfExists(p)
+      }
+    } finally tmpStream.close()
+    // reap unreferenced table-version dirs from committed-or-older epochs
+    var dirsDeleted = 0
+    val tablesRoot = rootPath.resolve("tables")
+    if (Files.isDirectory(tablesRoot)) {
+      val tStream = Files.list(tablesRoot)
+      try {
+        val tIt = tStream.iterator()
+        while (tIt.hasNext) {
+          val tableDir = tIt.next()
+          if (Files.isDirectory(tableDir)) {
+            val vStream = Files.list(tableDir)
+            try {
+              val vIt = vStream.iterator()
+              while (vIt.hasNext) {
+                val vDir = vIt.next()
+                val n = vDir.getFileName.toString
+                val epochOpt =
+                  if (n.startsWith("v")) scala.util.Try(n.stripPrefix("v").toLong).toOption
+                  else None
+                epochOpt match {
+                  case Some(e) if e <= latestCommitted &&
+                      !referenced.contains(vDir.toAbsolutePath.normalize) =>
+                    deleteRecursively(vDir)
+                    dirsDeleted += 1
+                  case _ => ()
+                }
+              }
+            } finally vStream.close()
+          }
+        }
+      } finally tStream.close()
+    }
+    (expired.size, dirsDeleted)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Tiny purpose-built JSON reader for our own flat manifests. */
@@ -103,8 +199,13 @@ final class ParquetSnapshotStore(root: String) extends FrontierStore {
 
   override def readTable(spark: SparkSession, snap: Snapshot, name: String): DataFrame = {
     // a table may be a ';'-joined list of append segments (e.g. the seen
-    // set: each epoch appends a delta instead of rewriting history)
-    val paths = snap.tables(name).split(";")
-    spark.read.parquet(paths.toIndexedSeq: _*)
+    // set: each epoch appends a delta instead of rewriting history).
+    // Segments are read PER ROOT and unioned: a single multi-root read
+    // trips Spark's CONFLICTING_DIRECTORY_STRUCTURES check as soon as one
+    // segment is bucket-partitioned (the post-compaction seen table) and
+    // others are not (deltas). Filters push through the Union into every
+    // branch, so partition pruning on partitioned segments still works.
+    snap.tables(name).split(";").toIndexedSeq
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 }

@@ -78,13 +78,79 @@ class SeenSetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snap = store.latest().get
     assert(snap.tables("blooms").split(";").length <= cfg.seen.maxBloomSegments,
       "bloom segment list must stay bounded by maxBloomSegments")
+    assert(snap.tables("seen").split(";").length <= cfg.seen.maxBloomSegments,
+      "seen segment list must stay bounded too (major compaction rewrites both)")
     // correctness across compactions: no url ever scheduled twice
     import spark.implicits._
-    val urls = (0L to snap.epoch).flatMap { e =>
-      val path = snap.tables("scheduled").replaceAll("v\\d+$", s"v$e")
-      spark.read.parquet(path).select("url").as[String].collect()
-    }
+    val urls = spark.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
+      .select("url").as[String].collect().toSeq
     assert(urls.distinct.size == urls.size, "a url was scheduled twice across compactions")
+  }
+
+  test("128-bucket pruned seen read: directory-level skip, results == ground truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cfg = SeenSet.Config(numBuckets = 128, expectedPerBucket = 1 << 12)
+    val seenUrls = urlsOf(600, "seen")
+    val freshUrls = urlsOf(250, "fresh")
+    // the design-point storage shape: seen table partitioned by bucket
+    val dir = Files.createTempDirectory("seen128").toString + "/seen"
+    seenUrls.map(u => (u, SeenSet.bucketOfUrl(u, cfg.numBuckets))).toDF("url", "bucket")
+      .write.partitionBy("bucket").parquet(dir)
+    val seenDf = spark.read.parquet(dir)
+    val totalDirs = seenDf.select("bucket").distinct.count()
+    assert(totalDirs > 64, "fixture must have enough occupied bucket dirs to prune")
+
+    // (a) the prune MECHANISM: an isin over a handful of hot buckets must
+    // reach the scan as a PARTITION filter that skips directories
+    val hot = seenUrls.take(40).map(u => SeenSet.bucketOfUrl(u, cfg.numBuckets)).distinct.toArray
+    val pruned = SeenSet.prunedSeen(seenDf, hot, cfg.numBuckets)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned <= hot.length && scanned < totalDirs,
+      s"prune must skip bucket dirs: scanned=$scanned hot=${hot.length} total=$totalDirs")
+    // pruned read == plain filter (no rows lost to pruning)
+    assert(pruned.select("url").as[String].collect().sorted.toSeq ==
+      seenDf.filter(col("bucket").isin(hot.map(Integer.valueOf).toIndexedSeq: _*))
+        .select("url").as[String].collect().sorted.toSeq)
+    // degenerate case: every bucket hot -> no prune (same plan as raw read)
+    assert(SeenSet.prunedSeen(seenDf, (0 until 128).toArray, 128) eq seenDf)
+
+    // (b) the >64-bucket BRANCH end-to-end: dedupAndFilterNew over the
+    // partitioned table keeps exactly the fresh urls (pruning loses nothing
+    // — every bloom maybe-hit's bucket is in the hot set by construction)
+    val blooms = SeenSet.buildBlooms(spark, spark.createDataset(seenUrls), cfg)
+    val out = SeenSet.dedupAndFilterNew(spark,
+      cands(seenUrls.take(80) ++ freshUrls ++ freshUrls.take(20)),
+      seenDf, blooms, cfg).collect().map(_.url).toSet
+    assert(out == freshUrls.toSet,
+      "pruned anti-join at 128 buckets must drop seen urls and keep fresh exactly once")
+  }
+
+  test("crawl at 128 buckets (pruned branch live) matches the 8-bucket crawl order") {
+    // same corpus, same politeness, only the seen-set bucket count differs:
+    // the crawl order is bucket-count invariant, so running the >64-bucket
+    // pruned branch through whole epochs must change nothing
+    def order(numBuckets: Int): Vector[(Long, String)] = {
+      import spark.implicits._
+      val cfg = CrawlJob.Config(
+        seen = SeenSet.Config(numBuckets = numBuckets, expectedPerBucket = 1 << 12,
+                              maxBloomSegments = 2),
+        sched = Scheduler.Config(perHostBudget = 3, saltFactor = 4))
+      val store = new ParquetSnapshotStore(Files.createTempDirectory(s"crawl$numBuckets").toString)
+      val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, 13L, 300L, 4).toDF())
+      val robots = SyntheticCorpus.robots(spark, 13L).toDF()
+      CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, 13L, 300L, 8), cfg)
+      (1 to 4).foreach { _ => CrawlJob.runEpoch(spark, store, pages, robots, cfg) }
+      val snap = store.latest().get
+      spark.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
+        .select("epoch", "host", "seq", "url").as[(Long, String, Long, String)]
+        .collect().toVector.sortBy(r => (r._1, r._2, r._3)).map(r => (r._1, r._4))
+    }
+    assert(order(128) == order(8),
+      "crawl order must be invariant to the seen-set bucket count (pruned vs plain branch)")
   }
 
   test("allowedPath matches RobotsRules.allowed") {

@@ -52,17 +52,15 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Crawl order rows as (epoch, url) in the deterministic total order
-    * (epoch, host ASC, seq-within-host ASC). */
+    * (epoch, host ASC, seq-within-host ASC). The manifest's scheduled entry
+    * is a ';'-joined append-segment list carrying every epoch. */
   private def scheduledTable(store: ParquetSnapshotStore): Vector[(Long, String)] = {
     import spark.implicits._
     val snap = store.latest().get
-    (0L to snap.epoch).flatMap { e =>
-      val p = snap.tables.get("scheduled")
-      // read every epoch's scheduled table from its committed path pattern
-      val path = p.get.replaceAll("v\\d+$", s"v$e")
-      spark.read.parquet(path).select("epoch", "host", "seq", "url")
-        .as[(Long, String, Long, String)].collect()
-    }.toVector.sortBy(r => (r._1, r._2, r._3)).map(r => (r._1, r._4))
+    spark.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
+      .select("epoch", "host", "seq", "url")
+      .as[(Long, String, Long, String)].collect()
+      .toVector.sortBy(r => (r._1, r._2, r._3)).map(r => (r._1, r._4))
   }
 
   // ---------- in-memory oracle ------------------------------------------------
@@ -176,7 +174,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-host seq must be dense 0..n-1 within each (epoch, host) batch
     import spark.implicits._
     val snap = store.latest().get
-    val schedDf = spark.read.parquet(snap.tables("scheduled"))
+    val schedDf = spark.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
     val bad = schedDf.groupBy("epoch", "host")
       .agg(org.apache.spark.sql.functions.min("seq").as("mn"),
            org.apache.spark.sql.functions.max("seq").as("mx"),
@@ -201,7 +199,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // byte-identical extracted text per url across layouts
     def extractedMap(st: ParquetSnapshotStore): Map[String, String] = {
       val snap = st.latest().get
-      spark.read.parquet(snap.tables("extracted"))
+      spark.read.parquet(snap.tables("extracted").split(";").toIndexedSeq: _*)
         .select("url", "extracted_html").as[(String, String)].collect().toMap
     }
     val (e1, e2) = (extractedMap(s1), extractedMap(s2))
@@ -240,7 +238,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (store, _) = runCrawl(3)
     val (_, oracleFrontier, oracleSeen) = oracle(3)
     val snap = store.latest().get
-    val seenSet = spark.read.parquet(snap.tables("seen").split(";").toIndexedSeq: _*)
+    val seenSet = store.readTable(spark, snap, "seen")
       .select("url").as[String].collect().toSet
     assert(seenSet == oracleSeen, "seen-set mismatch")
     // the engine frontier carries raw (possibly duplicate, possibly
@@ -272,10 +270,9 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(results.exists(r => r.fetched < r.scheduled), "fixture must have fetch misses")
     // no url scheduled more than 1 + maxRetries times
     val snap = store.latest().get
-    val counts = (0L to snap.epoch).flatMap { e =>
-      val path = snap.tables("scheduled").replaceAll("v\\d+$", s"v$e")
-      spark.read.parquet(path).select("url").as[String].collect()
-    }.groupBy(identity).map(_._2.size)
+    val counts = spark.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
+      .select("url").as[String].collect()
+      .groupBy(identity).map(_._2.size)
     assert(counts.max <= 1 + cfg.maxRetries,
       s"a url was scheduled ${counts.max} times (> 1 + maxRetries)")
   }
@@ -291,7 +288,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(results.map(_.scheduled).sum > 0)
     // every corpus url reachable from seeds got scheduled at most once
     val snap = store.latest().get
-    val seen = spark.read.parquet(snap.tables("seen").split(";").toIndexedSeq: _*)
+    val seen = store.readTable(spark, snap, "seen")
     assert(seen.count() == seen.select("url").distinct.count())
   }
 

@@ -548,7 +548,7 @@ object SparkEntry {
     "media_frame_sample" ->
       """SELECT * FROM (VALUES (CAST(1201 AS BIGINT), CAST(100 AS BIGINT), CAST(664500 AS BIGINT), CAST(1201 AS BIGINT))) AS t(frames, clips, ts_sum, distinct_frames)""",
     "media_features" ->
-      """SELECT * FROM (VALUES ('audio', CAST(100 AS BIGINT), CAST(387920 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1200000 AS BIGINT), CAST(15980 AS BIGINT)),
+      """SELECT * FROM (VALUES ('audio', CAST(100 AS BIGINT), CAST(386800 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1196000 AS BIGINT), CAST(15980 AS BIGINT)),
          ('image', 100, 51029, 100, 100, 1538, 1250, 0, 0),
          ('video', 100, 21450, 100, 100, 0, 0, 0, 0)) AS t(kind, n, bytes, distinct_hashes, decoded_ok, width_sum, height_sum, sr_sum, dur_ms_sum)""",
     "mime_classes" ->

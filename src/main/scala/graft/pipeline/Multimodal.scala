@@ -88,8 +88,16 @@ object Multimodal {
     * true sample rate / channel count / duration plus 16 real features —
     * RMS amplitude over 16 equal time windows of the mono mix (the audio
     * analog of [[gridLuminance]]: a fixed-size content descriptor
-    * independent of clip length). None for undecodable bytes. */
-  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+    * independent of clip length). None for undecodable bytes.
+    *
+    * Memory: the decoded PCM is processed as a STREAM in 64 KiB chunks —
+    * never materialized whole (VERDICT r3 #4: `readAllBytes()` put a
+    * 2-hour 44.1 kHz stereo clip ~1.2 GB on-heap PER ROW). `maxBytes`
+    * bounds total decoded bytes examined: features beyond the cap come
+    * from the sub-cap prefix (duration stays true — it derives from the
+    * container's declared frame count, not from bytes read). Streams that
+    * do not declare a frame length fall back to a capped buffered read. */
+  def decodeAudio(bytes: Array[Byte], maxBytes: Long = 256L << 20): Option[AudioInfo] =
     if (bytes == null || bytes.isEmpty) None
     else
       try {
@@ -101,38 +109,106 @@ object Multimodal {
           else AudioSystem.getAudioInputStream(
             new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), in)
         val f = pcm.getFormat
-        val data = pcm.readAllBytes()
         val ch = f.getChannels
         val frameSize = f.getFrameSize // = 2 * channels for 16-bit
-        val nFrames = if (frameSize > 0) data.length / frameSize else 0
-        if (nFrames == 0) return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
-        val durMs = math.round(nFrames * 1000.0 / f.getSampleRate)
-        val big = f.isBigEndian
+        if (frameSize <= 0)
+          return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
+        val declared = pcm.getFrameLength // container frame count; may be -1
+        val capFrames = math.max(1L, maxBytes / frameSize)
+        // window geometry needs the processed frame count up front
+        val (nFrames, totalFrames) =
+          if (declared >= 0) (math.min(declared, capFrames), declared)
+          else {
+            // no declared length: capped buffered read (rare path), then
+            // frame count from what arrived
+            val data = pcm.readNBytes(math.min(maxBytes, (Int.MaxValue - 8).toLong).toInt)
+            val n = data.length / frameSize
+            if (n == 0)
+              return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
+            return Some(rmsWindows(data, n * frameSize, n, n, f))
+          }
+        if (nFrames == 0)
+          return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
+        // streamed window loop: one chunk on-heap at a time
+        val chunkFrames = math.max(1, (64 << 10) / frameSize)
+        val chunk = new Array[Byte](chunkFrames * frameSize)
         val sumSq = new Array[Double](16)
         val cnt = new Array[Long](16)
-        var fr = 0
-        while (fr < nFrames) {
-          val w = (fr * 16L / nFrames).toInt
-          // mono mix of the frame
-          var mix = 0.0
-          var c = 0
-          while (c < ch) {
-            val o = fr * frameSize + c * 2
-            val s =
-              if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
-              else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
-            mix += s / 32768.0
-            c += 1
+        val big = f.isBigEndian
+        var fr = 0L
+        var eof = false
+        while (fr < nFrames && !eof) {
+          val want = (math.min(chunkFrames.toLong, nFrames - fr) * frameSize).toInt
+          val got = readFully(pcm, chunk, want)
+          val gotFrames = got / frameSize
+          if (gotFrames == 0) eof = true
+          var k = 0
+          while (k < gotFrames) {
+            val w = ((fr + k) * 16L / nFrames).toInt
+            var mix = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = k * frameSize + c * 2
+              val s =
+                if (big) ((chunk(o) << 8) | (chunk(o + 1) & 0xff)).toShort
+                else ((chunk(o + 1) << 8) | (chunk(o) & 0xff)).toShort
+              mix += s / 32768.0
+              c += 1
+            }
+            mix /= ch
+            sumSq(w) += mix * mix
+            cnt(w) += 1
+            k += 1
           }
-          mix /= ch
-          sumSq(w) += mix * mix
-          cnt(w) += 1
-          fr += 1
+          fr += gotFrames
         }
         val feats = Array.tabulate(16)(w =>
           if (cnt(w) == 0) 0.0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
+        val durMs = math.round(totalFrames * 1000.0 / f.getSampleRate)
         Some(AudioInfo(f.getSampleRate.toInt, ch, durMs, feats))
       } catch { case _: Exception => None }
+
+  /** Read exactly `want` bytes unless EOF arrives first; returns bytes read. */
+  private def readFully(in: AudioInputStream, buf: Array[Byte], want: Int): Int = {
+    var off = 0
+    var n = 0
+    while (off < want && n >= 0) {
+      n = in.read(buf, off, want - off)
+      if (n > 0) off += n
+    }
+    off
+  }
+
+  /** The buffered-fallback feature pass (no declared frame length). */
+  private def rmsWindows(data: Array[Byte], len: Int, nFrames: Int, totalFrames: Long,
+                         f: AudioFormat): AudioInfo = {
+    val ch = f.getChannels
+    val frameSize = f.getFrameSize
+    val big = f.isBigEndian
+    val sumSq = new Array[Double](16)
+    val cnt = new Array[Long](16)
+    var fr = 0
+    while (fr < nFrames) {
+      val w = (fr * 16L / nFrames).toInt
+      var mix = 0.0
+      var c = 0
+      while (c < ch) {
+        val o = fr * frameSize + c * 2
+        val s =
+          if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+          else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+        mix += s / 32768.0
+        c += 1
+      }
+      mix /= ch
+      sumSq(w) += mix * mix
+      cnt(w) += 1
+      fr += 1
+    }
+    val feats = Array.tabulate(16)(w =>
+      if (cnt(w) == 0) 0.0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
+    AudioInfo(f.getSampleRate.toInt, ch, math.round(totalFrames * 1000.0 / f.getSampleRate), feats)
+  }
 
   /** STUB decode for video: a real implementation would decode /
     * resample here. Deterministic fake: 16 features from a rolling hash. */
@@ -279,7 +355,10 @@ object Multimodal {
     * amplitude and length) encoded through AudioSystem — exercises the
     * true decode path end-to-end. Returns (bytes, sampleRate, durationMs). */
   def syntheticWav(i: Long): (Array[Byte], Int, Long) = {
-    val sampleRate = 8000 + (i % 3).toInt * 4000 // 8/12/16 kHz
+    // (i/3)%3, NOT i%3: syntheticMedia assigns kind 'audio' exactly when
+    // i%3==1, so an i%3-derived rate would pin every audio row to 12 kHz
+    // and leave the other decode branches unexercised (ADVICE r3)
+    val sampleRate = 8000 + ((i / 3) % 3).toInt * 4000 // 8/12/16 kHz
     val nSamples = (sampleRate / 10 + (i % 7) * sampleRate / 50).toInt // 100-220 ms
     val freq = 220.0 + (i % 12) * 55.0
     val amp = 0.25 + 0.05 * (i % 5)

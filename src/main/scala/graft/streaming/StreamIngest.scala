@@ -58,39 +58,72 @@ object StreamIngest {
            sum(size(extract_outlinks(col("html"), col("url")))).as("outlinks"))
   }
 
-  final case class HostBudgetState(served: Long, deferred: Long)
-  final case class HostBudgetUpdate(host: String, served: Long, deferred: Long,
-                                    totalServed: Long, totalDeferred: Long)
+  /** Per-host gate state: urls awaiting their politeness slot (FIFO). */
+  final case class HostGateState(pending: Vector[String])
+  /** One row per url event. status: "served" (passed the gate this batch),
+    * "deferred" (entered the pending queue — will be served in a later
+    * batch), "overflow" (pending queue full — route back to the batch
+    * frontier), "expired" (host idle past the event-time timeout; flushed
+    * so nothing vanishes silently). A url deferred in batch N appears again
+    * as served/overflow/expired later — the `served` rows ARE the gated
+    * feed; the rest are routing signals. */
+  final case class HostGateRow(host: String, url: String, status: String)
 
   /** Custom streaming state via flatMapGroupsWithState: a per-host
-    * politeness budget enforced ACROSS micro-batches — each host serves at
-    * most `perBatchBudget` pages per batch and the running served/deferred
-    * totals live in the state store (the streaming analog of the batch
-    * scheduler's per-host budgets). State cleanup for long-idle hosts is a
-    * production concern solved with event-time timeouts against the
-    * ingest watermark; a processing-time timeout is deliberately NOT used —
-    * it forces Spark to trigger empty micro-batches continuously just to
-    * fire timers (and the idle-spin churns state-store checkpoints). */
-  def hostBudget(spark: SparkSession, pages: DataFrame, perBatchBudget: Int): DataFrame = {
+    * politeness GATE enforced across micro-batches — each host serves at
+    * most `perBatchBudget` urls per batch, FIFO from (carried-over pending
+    * ++ this batch's urls, sorted for determinism); the remainder waits in
+    * the state store and drains in subsequent batches (the streaming
+    * analog of the batch scheduler's per-host budgets — VERDICT r3 #5
+    * replaced the old stats-only counts with actual rows).
+    *
+    * Scale bounds: pending is capped at `maxPending` per host — a host
+    * hammered faster than its budget overflows identifiably instead of
+    * growing state without bound (route overflow to the batch frontier).
+    * Long-idle hosts expire via an EVENT-TIME timeout against the ingest
+    * watermark (pending urls flush as "expired"); a processing-time timeout
+    * is deliberately NOT used — it forces Spark to trigger empty
+    * micro-batches continuously just to fire timers (and the idle-spin
+    * churns state-store checkpoints). */
+  def hostBudget(spark: SparkSession, pages: DataFrame, perBatchBudget: Int,
+                 maxPending: Int = 1 << 16,
+                 idleTimeoutMs: Long = 30L * 60 * 1000,
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val idleMs = idleTimeoutMs
     val keyed = pages
       .withColumn("url", url_canonicalize(col("url")))
       .filter(col("url").isNotNull)
       .withColumn("host", url_host(col("url")))
-      .select(col("host"), col("url"))
-      .as[(String, String)]
+      .withWatermark("warc_ts", watermarkDelay)
+      .select(col("host"), col("url"), col("warc_ts"))
+      .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
     keyed.flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (host: String, rows: Iterator[(String, String)], state: GroupState[HostBudgetState]) =>
-        val n = rows.size.toLong
-        val served = math.min(n, perBatchBudget.toLong)
-        val deferred = n - served
-        val prev = state.getOption.getOrElse(HostBudgetState(0L, 0L))
-        val next = HostBudgetState(prev.served + served, prev.deferred + deferred)
-        state.update(next)
-        Iterator(HostBudgetUpdate(host, served, deferred, next.served, next.deferred))
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (host: String, rows: Iterator[(String, String, java.sql.Timestamp)],
+       state: GroupState[HostGateState]) =>
+        if (state.hasTimedOut) {
+          val pending = state.getOption.map(_.pending).getOrElse(Vector.empty)
+          state.remove()
+          pending.iterator.map(u => HostGateRow(host, u, "expired"))
+        } else {
+          val batch = rows.toVector
+          val prev = state.getOption.map(_.pending).getOrElse(Vector.empty)
+          // FIFO with a deterministic within-batch order (url ASC)
+          val queue = prev.map((_, false)) ++ batch.map(_._2).sorted.map((_, true))
+          val (served, rest) = queue.splitAt(perBatchBudget)
+          val (keep, overflow) = rest.splitAt(maxPending)
+          state.update(HostGateState(keep.map(_._1)))
+          // idle expiry: idleTimeout past this batch's max event time (or
+          // the current watermark if it is already ahead)
+          val maxTs = batch.map(_._3.getTime).max
+          state.setTimeoutTimestamp(math.max(maxTs, state.getCurrentWatermarkMs()) + idleMs)
+          served.iterator.map { case (u, _) => HostGateRow(host, u, "served") } ++
+            keep.iterator.collect { case (u, true) => HostGateRow(host, u, "deferred") } ++
+            overflow.iterator.map { case (u, _) => HostGateRow(host, u, "overflow") }
+        }
     }.toDF()
   }
 }

@@ -254,6 +254,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("audio decode streams in bounded chunks: multi-MB clip == in-memory reference") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // ~10.6 MB: 120 s of 44.1 kHz mono 16-bit with a slow AM envelope so
+    // every RMS window differs (catches any window-boundary drift)
+    val sr = 44100
+    val n = sr * 120
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val env = 0.2 + 0.15 * math.sin(2 * math.Pi * k / n)
+      val s = (32767 * env * math.sin(2 * math.Pi * 440.0 * k / sr)).toInt.toShort
+      pcm(2 * k) = (s & 0xff).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(wav.length > (8 << 20), s"fixture must be multi-MB: ${wav.length}")
+    // in-memory reference: the pre-r4 readAllBytes formulation, inline
+    val refFeats = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+      val data = in.readAllBytes()
+      val sumSq = new Array[Double](16); val cnt = new Array[Long](16)
+      var fr = 0
+      while (fr < n) {
+        val w = (fr.toLong * 16L / n).toInt
+        val s = (((data(2 * fr + 1) << 8) | (data(2 * fr) & 0xff)).toShort) / 32768.0
+        sumSq(w) += s * s; cnt(w) += 1; fr += 1
+      }
+      Array.tabulate(16)(w => if (cnt(w) == 0) 0.0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
+    }
+    val got = Multimodal.decodeAudio(wav).get
+    assert(got.sampleRate == sr && math.abs(got.durationMs - 120000L) <= 1)
+    assert(got.features.toSeq == refFeats.toSeq,
+      s"streamed features differ from in-memory reference")
+    // features genuinely vary across windows (the sine envelope is
+    // mirror-symmetric, so 16 windows collapse to 8 distinct RMS values)
+    assert(got.features.distinct.length >= 8)
+    // byte cap: features come from the sub-cap prefix; duration stays TRUE
+    // (derived from the container frame count, not bytes read)
+    val capped = Multimodal.decodeAudio(wav, maxBytes = 1L << 20).get
+    assert(capped.durationMs == got.durationMs, "cap must not corrupt duration")
+    assert(capped.features.exists(_ > 0f) && capped.features.toSeq != got.features.toSeq)
+  }
+
   // ---- LSH hot-bucket bounding (VERDICT r2 #3) -------------------------------
 
   test("simhash hot-bucket sub-banding loses no recall: all-hot == all-cold pairs") {
@@ -300,6 +349,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= 3).count()
     assert(verified == 0)
+  }
+
+  test("simhash candidate generation: checkHot=false (histogram skipped) == unbounded plan") {
+    import spark.implicits._
+    // when the caller proves no bucket can be hot, the histogram-free plan
+    // must produce the identical candidate set
+    val sigs = (1 to 300).map { i =>
+      (i.toLong, (i % 17).toLong | ((i % 5).toLong << 20) | ((i % 3).toLong << 40))
+    }.toDF("id", "sig")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val skipped = collectPairs(
+      Dedup.simhashCandidatePairs(sigs, maxHamming = 3, hotBucketThreshold = 1 << 20,
+        checkHot = false))
+    val guarded = collectPairs(
+      Dedup.simhashCandidatePairs(sigs, maxHamming = 3, hotBucketThreshold = 1 << 20))
+    assert(skipped == guarded && skipped.nonEmpty)
   }
 
   test("simhash near-dups: zero-token documents never pair (blank-heavy corpora)") {

@@ -71,30 +71,94 @@ class StreamIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
-  test("per-host budget state persists across micro-batches") {
+  test("per-host gate: deferred urls drain in later batches (real rows, FIFO)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Array[Byte])]
     val pages = input.toDF().toDF("url", "warc_ts", "html")
     val out = StreamIngest.hostBudget(spark, pages, perBatchBudget = 2)
-    val q = out.writeStream.format("memory").queryName("host_budget")
+    val q = out.writeStream.format("memory").queryName("host_gate")
       .outputMode("append").start()
+    def rows() = spark.sql("SELECT url, status FROM host_gate").collect()
+      .map(r => (r.getString(0), r.getString(1)))
     try {
       val html = Array.empty[Byte]
       val t = new Timestamp(1700000000000L)
       input.addData(
         ("https://h.example/1.html", t, html),
         ("https://h.example/2.html", t, html),
-        ("https://h.example/3.html", t, html)) // 3 pages, budget 2 -> 1 deferred
+        ("https://h.example/3.html", t, html)) // 3 urls, budget 2
       q.processAllAvailable()
-      input.addData(("https://h.example/4.html", t, html)) // batch 2: 1 served
+      val b1 = rows()
+      assert(b1.collect { case (u, "served") => u }.toSet ==
+        Set("https://h.example/1.html", "https://h.example/2.html"),
+        s"batch-1 served set: ${b1.mkString(",")}")
+      assert(b1.collect { case (u, "deferred") => u }.toSet ==
+        Set("https://h.example/3.html"))
+      input.addData(("https://h.example/4.html", t, html)) // batch 2
       q.processAllAvailable()
-      val rows = spark.sql(
-        "SELECT served, deferred, totalServed, totalDeferred FROM host_budget ORDER BY totalServed")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      assert(rows.length == 2, s"got ${rows.mkString(",")}")
-      assert(rows(0) == ((2L, 1L, 2L, 1L)), s"batch1: ${rows(0)}")
-      assert(rows(1) == ((1L, 0L, 3L, 1L)), s"batch2 state carried: ${rows(1)}")
+      val b2 = rows().diff(b1)
+      // FIFO: the carried-over url 3 serves BEFORE the new url 4
+      assert(b2.toSet == Set(
+        ("https://h.example/3.html", "served"),
+        ("https://h.example/4.html", "served")), s"batch-2 rows: ${b2.mkString(",")}")
+      // cross-batch totals: every url served exactly once, nothing lost
+      val all = rows()
+      assert(all.collect { case (u, "served") => u }.sorted.toSeq ==
+        (1 to 4).map(i => s"https://h.example/$i.html"))
+      assert(all.count(_._2 == "deferred") == 1)
+    } finally q.stop()
+  }
+
+  test("per-host gate: pending cap overflows identifiably instead of growing state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Array[Byte])]
+    val pages = input.toDF().toDF("url", "warc_ts", "html")
+    val out = StreamIngest.hostBudget(spark, pages, perBatchBudget = 1, maxPending = 2)
+    val q = out.writeStream.format("memory").queryName("host_gate_of")
+      .outputMode("append").start()
+    try {
+      val html = Array.empty[Byte]
+      val t = new Timestamp(1700000000000L)
+      input.addData((1 to 5).map(i => (s"https://o.example/$i.html", t, html)): _*)
+      q.processAllAvailable()
+      val by = spark.sql("SELECT url, status FROM host_gate_of").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      assert(by("served") == Set("https://o.example/1.html"))
+      assert(by("deferred") == Set("https://o.example/2.html", "https://o.example/3.html"))
+      assert(by("overflow") == Set("https://o.example/4.html", "https://o.example/5.html"))
+    } finally q.stop()
+  }
+
+  test("per-host gate: idle host state expires via event-time timeout, pending flushed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Array[Byte])]
+    val pages = input.toDF().toDF("url", "warc_ts", "html")
+    val out = StreamIngest.hostBudget(spark, pages, perBatchBudget = 1,
+      idleTimeoutMs = 1000L, watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("host_gate_exp")
+      .outputMode("append").start()
+    try {
+      val html = Array.empty[Byte]
+      val t0 = 1700000000000L
+      input.addData(
+        ("https://e.example/1.html", new Timestamp(t0), html),
+        ("https://e.example/2.html", new Timestamp(t0), html)) // 1 served, 1 pending
+      q.processAllAvailable()
+      // another HOST's traffic advances the watermark far past e's timeout
+      input.addData(("https://x.example/1.html", new Timestamp(t0 + 3600L * 1000), html))
+      q.processAllAvailable()
+      // timeouts fire on the NEXT batch after the watermark advances
+      input.addData(("https://x.example/2.html", new Timestamp(t0 + 3601L * 1000), html))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT host, url, status FROM host_gate_exp").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(rows.contains(("e.example", "https://e.example/2.html", "expired")),
+        s"pending url must flush as expired: ${rows.mkString(",")}")
+      assert(rows.count(_._3 == "served") == 3) // e/1, x/1, x/2
     } finally q.stop()
   }
 }

@@ -93,13 +93,28 @@ object Bench {
     // (crawl + extraction) — lets the scaling protocol do repeated runs on
     // this noisy-neighbor host
     val scalingOnly = sys.env.contains("SPARK_GRAFT_SCALING")
-    for ((name, fn) <- SparkEntry.queries if name != "crawl_schedule" && !scalingOnly) {
-      val (_, sec) = time {
-        try fn(spark, sfDir).collect().length
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+    if (!scalingOnly) {
+      // untimed warm pass: parquet footer reads, filesystem cache, and scan
+      // codegen cold-start land HERE instead of inside the first sweep
+      // query (r3 recorded q_docs_by_source at 4.07s with an untouched plan
+      // purely because it ran first against cold tables — ADVICE r3)
+      for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                    "lineitem", "events", "documents", "embeddings"))
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      // best-of-2 per query: the second run strips residual JIT/shuffle-file
+      // cold-start; host-steal bursts longer than both runs still show, but
+      // single-sample position noise (the r3 per-query artifact) does not
+      for ((name, fn) <- SparkEntry.queries if name != "crawl_schedule") {
+        val sec = (1 to 2).map { _ =>
+          time {
+            try fn(spark, sfDir).collect().length
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          }._2
+        }.min
+        results(name) = sec
       }
-      results(name) = sec
     }
 
     // ---- 3. crawl north-metric: urls scheduled+extracted/sec, 3 epochs ----
@@ -120,18 +135,19 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count()
     val robots = graft.data.SyntheticCorpus.robots(spark, 42L, crawlHosts).toDF()
-    def crawlRun(): (Long, Double) = {
+    def crawlRun(corpus: org.apache.spark.sql.DataFrame, nPages: Long,
+                 c: CrawlJob.Config): (Long, Double) = {
       val root = java.nio.file.Files.createTempDirectory("bench-crawl").toString
       val store = new graft.store.ParquetSnapshotStore(root)
       time {
         CrawlJob.init(spark, store,
-          graft.data.SyntheticCorpus.seeds(spark, 42L, crawlPages, crawlSeeds, crawlHosts), cfg)
-        val rs = (1 to 3).map(_ => CrawlJob.runEpoch(spark, store, pages, robots, cfg))
+          graft.data.SyntheticCorpus.seeds(spark, 42L, nPages, crawlSeeds, crawlHosts), c)
+        val rs = (1 to 3).map(_ => CrawlJob.runEpoch(spark, store, corpus, robots, c))
         rs.map(_.fetched).sum
       }
     }
     val crawlRuns = (1 to math.max(1, crawlReps)).map { _ =>
-      val r = crawlRun(); System.gc(); r
+      val r = crawlRun(pages, crawlPages, cfg); System.gc(); r
     }
     val (crawlUrls, crawlSec) = crawlRuns.minBy(_._2)
     pages.unpersist()
@@ -147,11 +163,40 @@ object Bench {
     val pagesPerSec = if (exSec > 0) exN / exSec else 0.0
     val pagesPerSec1c = if (ex1Sec > 0) ex1N / ex1Sec else 0.0
 
+    // ---- 5. big-epoch crawl: the epoch-size scaling trend, recorded ------
+    // 1M-page corpus -> ~170k-url epochs (the regime the 10^10 design
+    // targets; r3 kept this in BENCH.md side runs only). numBuckets=128
+    // keeps the >64-bucket partition-pruned seen branch LIVE in a recorded
+    // run; per-epoch snapshot expiry (retainSnapshots default) is on.
+    val bigPages = sys.env.getOrElse("SPARK_GRAFT_BIG_CRAWL_PAGES", "1000000").toLong
+    var bigUrlsPerSec = 0.0
+    if (bigPages > 0 && !scalingOnly) {
+      System.gc()
+      val bigCfg = CrawlJob.Config(
+        seen = SeenSet.Config(numBuckets = 128, expectedPerBucket = 1 << 18),
+        sched = Scheduler.Config(perHostBudget = 256, saltFactor = 8),
+        shufflePartitions = cpus)
+      val bigCorpus = CrawlJob.preparePages(
+        graft.data.SyntheticCorpus.pages(spark, 42L, bigPages, cpus, crawlHosts).toDF())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bigCorpus.count()
+      val (bigUrls, bigSec) = crawlRun(bigCorpus, bigPages, bigCfg)
+      bigCorpus.unpersist()
+      results("crawl_bigepoch") = bigSec
+      bigUrlsPerSec = if (bigSec > 0) bigUrls / bigSec else 0.0
+    }
+
+    // headline total: each section counted ONCE — the per-window extraction
+    // samples and the 1-core companion are raw material for
+    // extract_wiki_pages, not independent work (r3 triple-counted them,
+    // making totals incomparable across rounds — ADVICE r3)
+    val auxKeys = Set("extract_wiki_pages_w1", "extract_wiki_pages_w2", "extract_wiki_1core")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (k, v) if v >= 0 && !auxKeys(k) => v }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""crawl_urls_per_sec":$urlsPerSec%.1f,"extract_pages_per_sec":$pagesPerSec%.1f,""" +
+      f""""crawl_urls_per_sec":$urlsPerSec%.1f,"crawl_bigepoch_urls_per_sec":$bigUrlsPerSec%.1f,""" +
+      f""""extract_pages_per_sec":$pagesPerSec%.1f,""" +
       f""""extract_pages_per_sec_1core":$pagesPerSec1c%.1f,"cpus":$cpus}""")
     spark.stop()
   }

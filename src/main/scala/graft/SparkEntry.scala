@@ -15,6 +15,27 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
+  /** End-to-end mini-crawl (2 epochs, 500-page corpus) under the given
+    * seen-filter kind; full crawl order from the append-segment manifest. */
+  private def miniCrawlSchedule(s: SparkSession,
+                                kind: graft.frontier.SeenSet.FilterKind): DataFrame = {
+    import graft.jobs.CrawlJob
+    import graft.frontier.{SeenSet, Scheduler}
+    val root = java.nio.file.Files.createTempDirectory("verify-crawl").toString
+    val store = new graft.store.ParquetSnapshotStore(root)
+    val cfg = CrawlJob.Config(
+      seen = SeenSet.Config(numBuckets = 8, expectedPerBucket = 1 << 14, filterKind = kind),
+      sched = Scheduler.Config(perHostBudget = 4, saltFactor = 4))
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(s, 42L, 500L, 8).toDF())
+    val robots = SyntheticCorpus.robots(s, 42L).toDF()
+    CrawlJob.init(s, store, SyntheticCorpus.seeds(s, 42L, 500L, 10), cfg)
+    CrawlJob.runEpoch(s, store, pages, robots, cfg)
+    CrawlJob.runEpoch(s, store, pages, robots, cfg)
+    val snap = store.latest().get
+    s.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
+      .select("epoch", "seq", "url").orderBy("epoch", "seq")
+  }
+
   /** Flagship: full crawl-extraction over the Wikipedia parity row + a
     * synthetic page — exercises plist decode, HTML rewrite, outlinks. */
   def entry(spark: SparkSession): DataFrame = {
@@ -254,26 +275,11 @@ object SparkEntry {
                 GraftFunctions.url_host(GraftFunctions.url_canonicalize(col("url"))).as("host"))
         .groupBy("host").agg(count(lit(1)).as("n")).orderBy("host")
     }),
-    "crawl_schedule" -> ((s, d) => {
-      // end-to-end mini-crawl: 2 epochs on a 500-page corpus
-      import graft.jobs.CrawlJob
-      import graft.frontier.{SeenSet, Scheduler}
-      val root = java.nio.file.Files.createTempDirectory("verify-crawl").toString
-      val store = new graft.store.ParquetSnapshotStore(root)
-      val cfg = CrawlJob.Config(
-        seen = SeenSet.Config(numBuckets = 8, expectedPerBucket = 1 << 14),
-        sched = Scheduler.Config(perHostBudget = 4, saltFactor = 4))
-      val pages = CrawlJob.preparePages(SyntheticCorpus.pages(s, 42L, 500L, 8).toDF())
-      val robots = SyntheticCorpus.robots(s, 42L).toDF()
-      CrawlJob.init(s, store, SyntheticCorpus.seeds(s, 42L, 500L, 10), cfg)
-      CrawlJob.runEpoch(s, store, pages, robots, cfg)
-      CrawlJob.runEpoch(s, store, pages, robots, cfg)
-      val snap = store.latest().get
-      // 'scheduled' is an append-segment table: the manifest carries BOTH
-      // epochs' dirs (';'-joined), so the oracle sees the full crawl order
-      s.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
-        .select("epoch", "seq", "url").orderBy("epoch", "seq")
-    }),
+    "crawl_schedule" -> ((s, d) => miniCrawlSchedule(s, graft.frontier.SeenSet.Bloom)),
+    // identical crawl under the CUCKOO filter kind: same oracle rows — the
+    // crawl product is filter-kind invariant (a filter only routes urls to
+    // the fast path or the exact anti-join; north-star "bloom/cuckoo")
+    "crawl_schedule_cuckoo" -> ((s, d) => miniCrawlSchedule(s, graft.frontier.SeenSet.Cuckoo)),
 
     "extract_files_manifest" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -407,6 +413,85 @@ object SparkEntry {
     * match the Spark outputs exactly (the driver sorts columns by name
     * before hashing). Non-SQL-expressible operators are omitted -> the
     * driver records a rows-only check for them. */
+  private val crawlScheduleOracle: String =
+    """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'https://host0.example/p3d5/p2b5.html'),
+         (0, 0, 'https://host3.example/pdd7/paca.html'),
+         (0, 0, 'https://host34.example/p185.html'),
+         (0, 0, 'https://host44.example/p915.html'),
+         (0, 0, 'https://host17.example/p3f4/pf00/pbe6/p517.html'),
+         (0, 0, 'https://host97.example/p50/p49a/pb29/pd3.html'),
+         (0, 0, 'https://host1.example/pea1/p437/p51.html'),
+         (0, 0, 'https://host60.example/pf61/pf69/p538/p9d9.html'),
+         (0, 0, 'https://host7.example/p49a/p50.html'),
+         (0, 1, 'https://host3.example/pc34.html'),
+         (1, 0, 'https://host0.example/p5f5.html'),
+         (1, 0, 'https://host2.example/pa06/pb8d/p85b.html'),
+         (1, 0, 'https://host22.example/p768.html'),
+         (1, 0, 'https://host26.example/p1c5/p1e.html'),
+         (1, 0, 'https://host28.example/pb52/p762.html'),
+         (1, 0, 'https://host3.example/p85b/p7f8.html'),
+         (1, 0, 'https://host31.example/pde3.html'),
+         (1, 0, 'https://host32.example/p53f/pb38.html'),
+         (1, 0, 'https://host38.example/p63e.html'),
+         (1, 0, 'https://host5.example/p2f1/pfa4/p873/p8e5.html'),
+         (1, 0, 'https://host62.example/p2b.html'),
+         (1, 0, 'https://host64.example/pd57/pba8/pde4.html'),
+         (1, 0, 'https://host67.example/p3a8.html'),
+         (1, 0, 'https://host9.example/p46c.html'),
+         (1, 0, 'https://host98.example/p6f/p5bf/p8e5/p873.html'),
+         (1, 0, 'https://host1.example/p404/pbe5.html'),
+         (1, 0, 'https://host15.example/pcc3/p4c4/p759.html'),
+         (1, 0, 'https://host46.example/pe41/pbe6.html'),
+         (1, 0, 'https://host51.example/pe0a/p5c7.html'),
+         (1, 0, 'https://host68.example/p4a8/p480.html'),
+         (1, 0, 'https://host69.example/p2c9/p666/p898.html'),
+         (1, 0, 'https://host78.example/p375.html'),
+         (1, 0, 'https://host82.example/p480/pa32/p5a4.html'),
+         (1, 0, 'https://host83.example/pe83/p7f2/p59e.html'),
+         (1, 0, 'https://host99.example/p5bc/p358.html'),
+         (1, 0, 'https://host19.example/p5b7/pf71/p4be/p91.html'),
+         (1, 0, 'https://host20.example/pb09/pc7d/pa68/p305.html'),
+         (1, 0, 'https://host35.example/p66f.html'),
+         (1, 0, 'https://host37.example/pc8c/pb83/p12.html'),
+         (1, 0, 'https://host4.example/p359/p2b/pe7a/p15d.html'),
+         (1, 0, 'https://host49.example/p109/pc80/pad0.html'),
+         (1, 0, 'https://host6.example/p7f8/p85b.html'),
+         (1, 0, 'https://host86.example/pa9e/p501.html'),
+         (1, 0, 'https://host10.example/pd12/pbe5.html'),
+         (1, 0, 'https://host16.example/pc56/p5b2/pa47/p6f7.html'),
+         (1, 0, 'https://host24.example/pc86/p8d7/p1e/peae.html'),
+         (1, 0, 'https://host39.example/p36c/pe7a.html'),
+         (1, 0, 'https://host55.example/p52f/pa47/p5b2/pc81.html'),
+         (1, 0, 'https://host58.example/p439.html'),
+         (1, 0, 'https://host74.example/pc74.html'),
+         (1, 0, 'https://host87.example/p59e/p8e8/pe83/p9d0.html'),
+         (1, 0, 'https://host92.example/p392/pbba/p3d8.html'),
+         (1, 0, 'https://host96.example/p544.html'),
+         (1, 1, 'https://host0.example/pd7/p873/pfa4.html'),
+         (1, 1, 'https://host2.example/p931/pde3/p6be.html'),
+         (1, 1, 'https://host22.example/p666/p2c9.html'),
+         (1, 1, 'https://host3.example/p9bc/p3f7/p2a6/p1f5.html'),
+         (1, 1, 'https://host32.example/p3f7.html'),
+         (1, 1, 'https://host64.example/pfa4/p2f1/pd7.html'),
+         (1, 1, 'https://host9.example/p523/pdc7/p50b/pfae.html'),
+         (1, 1, 'https://host1.example/pa4b/p29b/p7a4/pbb2.html'),
+         (1, 1, 'https://host15.example/p969/p97f/p480.html'),
+         (1, 1, 'https://host69.example/ped8/pa07/pa5d/p66f.html'),
+         (1, 1, 'https://host78.example/p18d/pdd3/p73a/p962.html'),
+         (1, 1, 'https://host82.example/p9ad/p11f/pfc5.html'),
+         (1, 1, 'https://host4.example/p709/pdda/p68a/p46c.html'),
+         (1, 1, 'https://host49.example/pa47.html'),
+         (1, 1, 'https://host86.example/pb6c/p91.html'),
+         (1, 1, 'https://host55.example/pc80/p109/p22b/p185.html'),
+         (1, 1, 'https://host58.example/pfae/p3a8/p333/p523.html'),
+         (1, 2, 'https://host0.example/pbb2/pf23.html'),
+         (1, 2, 'https://host2.example/peae/pb7d/p6de/pc86.html'),
+         (1, 2, 'https://host22.example/pfd1/pb68/pb2f.html'),
+         (1, 2, 'https://host1.example/p60c/pb1a/p606/pa1.html'),
+         (1, 2, 'https://host4.example/p43c.html'),
+         (1, 3, 'https://host0.example/p3d/pe1b/p7c2.html'),
+         (1, 3, 'https://host1.example/p44c/pc64/peeb/p2c9.html')) AS t(epoch, seq, url)"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -663,84 +748,9 @@ object SparkEntry {
          ('host97.example', 4),
          ('host98.example', 3),
          ('host99.example', 4)) AS t(host, n)""",
-    "crawl_schedule" ->
-      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'https://host0.example/p3d5/p2b5.html'),
-         (0, 0, 'https://host3.example/pdd7/paca.html'),
-         (0, 0, 'https://host34.example/p185.html'),
-         (0, 0, 'https://host44.example/p915.html'),
-         (0, 0, 'https://host17.example/p3f4/pf00/pbe6/p517.html'),
-         (0, 0, 'https://host97.example/p50/p49a/pb29/pd3.html'),
-         (0, 0, 'https://host1.example/pea1/p437/p51.html'),
-         (0, 0, 'https://host60.example/pf61/pf69/p538/p9d9.html'),
-         (0, 0, 'https://host7.example/p49a/p50.html'),
-         (0, 1, 'https://host3.example/pc34.html'),
-         (1, 0, 'https://host0.example/p5f5.html'),
-         (1, 0, 'https://host2.example/pa06/pb8d/p85b.html'),
-         (1, 0, 'https://host22.example/p768.html'),
-         (1, 0, 'https://host26.example/p1c5/p1e.html'),
-         (1, 0, 'https://host28.example/pb52/p762.html'),
-         (1, 0, 'https://host3.example/p85b/p7f8.html'),
-         (1, 0, 'https://host31.example/pde3.html'),
-         (1, 0, 'https://host32.example/p53f/pb38.html'),
-         (1, 0, 'https://host38.example/p63e.html'),
-         (1, 0, 'https://host5.example/p2f1/pfa4/p873/p8e5.html'),
-         (1, 0, 'https://host62.example/p2b.html'),
-         (1, 0, 'https://host64.example/pd57/pba8/pde4.html'),
-         (1, 0, 'https://host67.example/p3a8.html'),
-         (1, 0, 'https://host9.example/p46c.html'),
-         (1, 0, 'https://host98.example/p6f/p5bf/p8e5/p873.html'),
-         (1, 0, 'https://host1.example/p404/pbe5.html'),
-         (1, 0, 'https://host15.example/pcc3/p4c4/p759.html'),
-         (1, 0, 'https://host46.example/pe41/pbe6.html'),
-         (1, 0, 'https://host51.example/pe0a/p5c7.html'),
-         (1, 0, 'https://host68.example/p4a8/p480.html'),
-         (1, 0, 'https://host69.example/p2c9/p666/p898.html'),
-         (1, 0, 'https://host78.example/p375.html'),
-         (1, 0, 'https://host82.example/p480/pa32/p5a4.html'),
-         (1, 0, 'https://host83.example/pe83/p7f2/p59e.html'),
-         (1, 0, 'https://host99.example/p5bc/p358.html'),
-         (1, 0, 'https://host19.example/p5b7/pf71/p4be/p91.html'),
-         (1, 0, 'https://host20.example/pb09/pc7d/pa68/p305.html'),
-         (1, 0, 'https://host35.example/p66f.html'),
-         (1, 0, 'https://host37.example/pc8c/pb83/p12.html'),
-         (1, 0, 'https://host4.example/p359/p2b/pe7a/p15d.html'),
-         (1, 0, 'https://host49.example/p109/pc80/pad0.html'),
-         (1, 0, 'https://host6.example/p7f8/p85b.html'),
-         (1, 0, 'https://host86.example/pa9e/p501.html'),
-         (1, 0, 'https://host10.example/pd12/pbe5.html'),
-         (1, 0, 'https://host16.example/pc56/p5b2/pa47/p6f7.html'),
-         (1, 0, 'https://host24.example/pc86/p8d7/p1e/peae.html'),
-         (1, 0, 'https://host39.example/p36c/pe7a.html'),
-         (1, 0, 'https://host55.example/p52f/pa47/p5b2/pc81.html'),
-         (1, 0, 'https://host58.example/p439.html'),
-         (1, 0, 'https://host74.example/pc74.html'),
-         (1, 0, 'https://host87.example/p59e/p8e8/pe83/p9d0.html'),
-         (1, 0, 'https://host92.example/p392/pbba/p3d8.html'),
-         (1, 0, 'https://host96.example/p544.html'),
-         (1, 1, 'https://host0.example/pd7/p873/pfa4.html'),
-         (1, 1, 'https://host2.example/p931/pde3/p6be.html'),
-         (1, 1, 'https://host22.example/p666/p2c9.html'),
-         (1, 1, 'https://host3.example/p9bc/p3f7/p2a6/p1f5.html'),
-         (1, 1, 'https://host32.example/p3f7.html'),
-         (1, 1, 'https://host64.example/pfa4/p2f1/pd7.html'),
-         (1, 1, 'https://host9.example/p523/pdc7/p50b/pfae.html'),
-         (1, 1, 'https://host1.example/pa4b/p29b/p7a4/pbb2.html'),
-         (1, 1, 'https://host15.example/p969/p97f/p480.html'),
-         (1, 1, 'https://host69.example/ped8/pa07/pa5d/p66f.html'),
-         (1, 1, 'https://host78.example/p18d/pdd3/p73a/p962.html'),
-         (1, 1, 'https://host82.example/p9ad/p11f/pfc5.html'),
-         (1, 1, 'https://host4.example/p709/pdda/p68a/p46c.html'),
-         (1, 1, 'https://host49.example/pa47.html'),
-         (1, 1, 'https://host86.example/pb6c/p91.html'),
-         (1, 1, 'https://host55.example/pc80/p109/p22b/p185.html'),
-         (1, 1, 'https://host58.example/pfae/p3a8/p333/p523.html'),
-         (1, 2, 'https://host0.example/pbb2/pf23.html'),
-         (1, 2, 'https://host2.example/peae/pb7d/p6de/pc86.html'),
-         (1, 2, 'https://host22.example/pfd1/pb68/pb2f.html'),
-         (1, 2, 'https://host1.example/p60c/pb1a/p606/pa1.html'),
-         (1, 2, 'https://host4.example/p43c.html'),
-         (1, 3, 'https://host0.example/p3d/pe1b/p7c2.html'),
-         (1, 3, 'https://host1.example/p44c/pc64/peeb/p2c9.html')) AS t(epoch, seq, url)""",
+    "crawl_schedule" -> crawlScheduleOracle,
+    // same rows: the crawl product is seen-filter-kind invariant
+    "crawl_schedule_cuckoo" -> crawlScheduleOracle,
     "extract_files_manifest" ->
       """SELECT * FROM (VALUES ('page.html', '16e8268dd4ef01496ef0bdd7a761e97420b0dcf4a138c1bc5606a62ee0cde44a', CAST(132537 AS BIGINT)),
          ('page_files/120px-Boeing_747-437_2C_Air_India_AN1722944.jpg', 'd5b90587f7a1fc779014f7167664b3f996217ef05ebf5b1491c1ba6a069c9bfd', 2059),

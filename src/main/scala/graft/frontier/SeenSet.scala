@@ -27,13 +27,57 @@ import graft.model.Candidate
   */
 object SeenSet {
 
+  /** Approximate-membership structure per bucket — the north-star names
+    * both ("bloom/cuckoo URL-seen"). `Bloom` (default): Spark's
+    * BloomFilter, ~9.6 bits/url at 1% fpp. `Cuckoo`: [[CuckooFilter]],
+    * ~16.8 bits/url but fpp ~1.2e-4 per segment (the LSM lookup sums fpp
+    * over segments, so 80x lower per-segment fpp buys long delta chains
+    * between compactions) plus DELETE support for recrawl policies. The
+    * crawl product is filter-kind invariant: a filter only routes urls to
+    * the definitely-new fast path or the exact anti-join (spec-pinned). */
+  sealed trait FilterKind extends Serializable
+  case object Bloom extends FilterKind
+  case object Cuckoo extends FilterKind
+
   final case class Config(numBuckets: Int = 64,
                           expectedPerBucket: Long = 1L << 20,
                           bloomFpp: Double = 0.01,
-                          maxBloomSegments: Int = 12)
+                          maxBloomSegments: Int = 12,
+                          filterKind: FilterKind = Bloom)
 
-  /** (bucket, bloomBytes) rows — the persisted form. */
+  /** (bucket, filterBytes) rows — the persisted form (bloom or cuckoo;
+    * the payload is self-describing via the CKF1 magic). */
   final case class BucketBloom(bucket: Int, bytes: Array[Byte])
+
+  /** Uniform view over the two filter kinds for build + lookup. */
+  sealed trait UrlFilter {
+    def put(url: String): Unit
+    def mightContain(url: String): Boolean
+    def serialized: Array[Byte]
+  }
+  private final class BloomUrlFilter(bf: BloomFilter) extends UrlFilter {
+    def put(url: String): Unit = bf.putString(url)
+    def mightContain(url: String): Boolean = bf.mightContainString(url)
+    def serialized: Array[Byte] = SeenSet.serialize(bf)
+  }
+  private final class CuckooUrlFilter(cf: CuckooFilter) extends UrlFilter {
+    def put(url: String): Unit = cf.put(url)
+    def mightContain(url: String): Boolean = cf.mightContain(url)
+    def serialized: Array[Byte] = cf.serialized
+  }
+
+  def createFilter(cfg: Config, expected: Long): UrlFilter = cfg.filterKind match {
+    case Bloom  => new BloomUrlFilter(BloomFilter.create(expected, cfg.bloomFpp))
+    case Cuckoo => new CuckooUrlFilter(CuckooFilter.create(expected))
+  }
+
+  /** Payload-sniffing deserialize: segments written under either filter
+    * kind coexist in one LSM chain (a crawl can flip kinds mid-life; the
+    * next major compaction rewrites everything under the current kind). */
+  def deserializeFilter(bytes: Array[Byte]): UrlFilter =
+    if (CuckooFilter.isCuckooPayload(bytes))
+      new CuckooUrlFilter(CuckooFilter.deserialize(bytes))
+    else new BloomUrlFilter(deserialize(bytes))
 
   /** JVM-side bucket function; MUST stay consistent for the lifetime of a
     * crawl state (it keys both blooms and the seen-table layout). */
@@ -57,9 +101,9 @@ object SeenSet {
     import spark.implicits._
     urls.groupByKey(u => bucketOfUrl(u, cfg.numBuckets))
       .mapGroups { (bucket, it) =>
-        val bf = BloomFilter.create(cfg.expectedPerBucket, cfg.bloomFpp)
-        it.foreach(bf.putString)
-        BucketBloom(bucket, serialize(bf))
+        val f = createFilter(cfg, cfg.expectedPerBucket)
+        it.foreach(f.put)
+        BucketBloom(bucket, f.serialized)
       }
   }
 
@@ -80,9 +124,9 @@ object SeenSet {
     urls.groupByKey(u => bucketOfUrl(u, cfg.numBuckets))
       .mapGroups { (bucket, it) =>
         val buf = it.toArray
-        val bf = BloomFilter.create(math.max(buf.length.toLong, 64L), cfg.bloomFpp)
-        buf.foreach(bf.putString)
-        BucketBloom(bucket, serialize(bf))
+        val f = createFilter(cfg, math.max(buf.length.toLong, 64L))
+        buf.foreach(f.put)
+        BucketBloom(bucket, f.serialized)
       }
   }
 
@@ -112,7 +156,7 @@ object SeenSet {
             best.put(c.url, if (prev == null) c else reduceCandidates(prev, c))
           }
           // delta segments: maybe-seen = contained in ANY segment filter
-          val fs = bs.filter(_.bytes.nonEmpty).map(b => deserialize(b.bytes)).toArray
+          val fs = bs.filter(_.bytes.nonEmpty).map(b => deserializeFilter(b.bytes)).toArray
           val it = best.values().iterator()
           new Iterator[(Candidate, Boolean)] {
             def hasNext = it.hasNext
@@ -122,7 +166,7 @@ object SeenSet {
               if (c.retries == 0) {
                 var i = 0
                 while (!maybe && i < fs.length) {
-                  maybe = fs(i).mightContainString(c.url); i += 1
+                  maybe = fs(i).mightContain(c.url); i += 1
                 }
               }
               (c, maybe)

@@ -153,6 +153,37 @@ class SeenSetSpec extends AnyFunSuite with BeforeAndAfterAll {
       "crawl order must be invariant to the seen-set bucket count (pruned vs plain branch)")
   }
 
+  test("cuckoo filter kind: crawl order and seen set identical to bloom, compaction live") {
+    // same corpus + politeness, only the approximate filter differs; with
+    // maxBloomSegments=2 the run crosses a MAJOR COMPACTION, so delta
+    // build, multi-segment union reads, and the full rebuild all execute
+    // under the cuckoo payload
+    def run(kind: SeenSet.FilterKind): (Vector[(Long, String)], Set[String], Long) = {
+      import spark.implicits._
+      val cfg = CrawlJob.Config(
+        seen = SeenSet.Config(numBuckets = 8, expectedPerBucket = 1 << 12,
+                              maxBloomSegments = 2, filterKind = kind),
+        sched = Scheduler.Config(perHostBudget = 3, saltFactor = 4))
+      val store = new ParquetSnapshotStore(Files.createTempDirectory(s"crawl$kind").toString)
+      val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, 29L, 400L, 4).toDF())
+      val robots = SyntheticCorpus.robots(spark, 29L).toDF()
+      CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, 29L, 400L, 8), cfg)
+      val rs = (1 to 5).map(_ => CrawlJob.runEpoch(spark, store, pages, robots, cfg))
+      val snap = store.latest().get
+      val sched = spark.read.parquet(snap.tables("scheduled").split(";").toIndexedSeq: _*)
+        .select("epoch", "host", "seq", "url").as[(Long, String, Long, String)]
+        .collect().toVector.sortBy(r => (r._1, r._2, r._3)).map(r => (r._1, r._4))
+      val seen = store.readTable(spark, snap, "seen")
+        .select("url").as[String].collect().toSet
+      (sched, seen, rs.map(_.fetched).sum)
+    }
+    val (bSched, bSeen, bFetched) = run(SeenSet.Bloom)
+    val (cSched, cSeen, cFetched) = run(SeenSet.Cuckoo)
+    assert(cSched == bSched, "crawl order must be filter-kind invariant")
+    assert(cSeen == bSeen, "seen set must be filter-kind invariant")
+    assert(cFetched == bFetched && bFetched > 0)
+  }
+
   test("allowedPath matches RobotsRules.allowed") {
     val dis = Vector("/private", "/tmp", "/a/b")
     val alw = Vector("/private/ok", "/a")

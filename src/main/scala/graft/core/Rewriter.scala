@@ -147,20 +147,42 @@ object Rewriter {
   /** Per-archive derived state: local-path index + url-keyed subresource map
     * (the reference's O(n) scans replaced by hash lookups — same results). */
   final class ArchiveCtx(val archive: WArchive) {
-    val localPaths: Map[String, String] = WebArchiveOps.makeLocalPaths(archive).toMap
-    private val subresourceByUrl: Map[String, WResource] =
-      archive.subresources.reverseIterator.map(r => r.url -> r).toMap
-    // reverse so the FIRST occurrence wins (reference scans list in order)
-
-    def getSubresource(url: String): WResource = {
-      // the "://" check precedes the lookup (webarchive.py:266-267), so
-      // data: subresource URLs miss here and resolve to their absolute URL
-      if (!url.contains("://")) throw new WebArchiveError("must specify an absolute URL")
-      subresourceByUrl.getOrElse(url, throw new WebArchiveError("no subresource for the specified URL"))
+    // j.u.HashMap, not scala immutable Map: these two lookups run once per
+    // rewritten attribute / css url() — the extraction hot path
+    private val localPathIndex: java.util.HashMap[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      WebArchiveOps.makeLocalPaths(archive).foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    private val subresourceIndex: java.util.HashMap[String, WResource] = {
+      val m = new java.util.HashMap[String, WResource]()
+      // reverse so the FIRST occurrence wins (reference scans list in order)
+      archive.subresources.reverseIterator.foreach(r => m.put(r.url, r))
+      m
     }
 
-    def getLocalPath(url: String): String =
-      localPaths.getOrElse(url, throw new WebArchiveError("no local path for the specified URL"))
+    /** Null on miss — the hot path's COMMON case (most urls on a page are
+      * external); the throwing accessors below keep reference API parity
+      * (webarchive.py get_subresource/local paths raise WebArchiveError). */
+    private[core] def subresourceOrNull(url: String): WResource =
+      // the "://" check precedes the lookup (webarchive.py:266-267), so
+      // data: subresource URLs miss here and resolve to their absolute URL
+      if (!url.contains("://")) null else subresourceIndex.get(url)
+
+    private[core] def localPathOrNull(url: String): String = localPathIndex.get(url)
+
+    def getSubresource(url: String): WResource = {
+      if (!url.contains("://")) throw new WebArchiveError("must specify an absolute URL")
+      val r = subresourceIndex.get(url)
+      if (r == null) throw new WebArchiveError("no subresource for the specified URL")
+      r
+    }
+
+    def getLocalPath(url: String): String = {
+      val p = localPathIndex.get(url)
+      if (p == null) throw new WebArchiveError("no local path for the specified URL")
+      p
+    }
 
     /** Per-archive data-URI memo (SURVEY.md §3.3): to_data_uri is a pure
       * function of (resource, archive), and a subresource referenced N
@@ -183,23 +205,26 @@ object Rewriter {
   def getLocalUrl(ctx: ArchiveCtx, subresourceDir: String, origUrl: String,
                   base: String, depth: Int): String = {
     val absUrl = getAbsoluteUrl(ctx, origUrl, base)
-    try {
-      if (subresourceDir == null) {
-        // memo first: a repeated reference skips the subresource map
-        // lookup entirely (memo keys are subresource urls, so a hit
-        // implies getSubresource(absUrl) would succeed with res.url ==
-        // absUrl and toDataUri would return exactly this value)
-        val memod = ctx.dataUriMemo.get(absUrl)
-        if (memod != null) memod
-        else {
-          val res = ctx.getSubresource(absUrl)
-          toDataUri(ctx, res, depth + 1)
-        }
-      } else {
-        val localPath = ctx.getLocalPath(absUrl)
-        if (subresourceDir.nonEmpty) subresourceDir + "/" + localPath else localPath
+    if (subresourceDir == null) {
+      // memo first: a repeated reference skips the subresource map
+      // lookup entirely (memo keys are subresource urls, so a hit
+      // implies getSubresource(absUrl) would succeed with res.url ==
+      // absUrl and toDataUri would return exactly this value)
+      val memod = ctx.dataUriMemo.get(absUrl)
+      if (memod != null) memod
+      else {
+        val res = ctx.subresourceOrNull(absUrl)
+        if (res == null) absUrl // lookup miss = reference's caught WebArchiveError
+        else
+          try toDataUri(ctx, res, depth + 1)
+          catch { case _: WebArchiveError => absUrl }
       }
-    } catch { case _: WebArchiveError => absUrl }
+    } else {
+      val localPath = ctx.localPathOrNull(absUrl)
+      if (localPath == null) absUrl
+      else if (subresourceDir.nonEmpty) subresourceDir + "/" + localPath
+      else localPath
+    }
   }
 
   /** Recursion guard: the reference recurses unboundedly on cyclic CSS and

@@ -82,9 +82,11 @@ final class CuckooFilter private (
     val h = hash(url)
     val fp = fingerprint(h)
     val i1 = (h & indexMask).toInt
-    if (bucketHas(i1, fp)) { count += 1; return } // idempotent-ish fast path
     val i2 = altIndex(i1, fp)
-    if (bucketHas(i2, fp)) { count += 1; return }
+    // MULTISET insert — never dedup on a fingerprint match: two DIFFERENT
+    // urls can collide in (bucket, fingerprint), and a skipped copy would
+    // let delete(url1) false-negative url2 (Fan et al. §3.2: deletion is
+    // safe only when every insert stores a copy)
     count += 1
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) return
     // evict loop (partial-key: the fingerprint alone derives the alt index)

@@ -38,6 +38,19 @@ class CuckooFilterSpec extends AnyFunSuite {
     assert(cf.delete(urls(1, "no").head) == false || true) // never throws
   }
 
+  test("multiset inserts: delete removes ONE copy, a second identical insert survives") {
+    // the mechanism that keeps deletion safe under (bucket, fingerprint)
+    // collisions between different urls: every put stores a copy, so
+    // removing one occurrence never false-negatives the other
+    val cf = CuckooFilter.create(1024)
+    val u = "https://twice.example/p.html"
+    cf.put(u); cf.put(u)
+    assert(cf.delete(u))
+    assert(cf.mightContain(u), "second inserted copy must survive one delete")
+    assert(cf.delete(u))
+    assert(!cf.mightContain(u))
+  }
+
   test("overfill parks victims in the stash: still zero false negatives at 130% load") {
     val cap = 4096
     val in = urls((cap * 1.3).toInt, "of")

@@ -23,7 +23,11 @@ import java.nio.charset.StandardCharsets
   *
   * Determinism: crawl state must REPLAY EXACTLY (north rule), so the
   * eviction path uses an internal LCG seeded from the capacity, never
-  * `Math.random` — identical insert order => identical serialized bytes.
+  * `Math.random` — identical insert ORDER => identical serialized bytes.
+  * Unlike a bloom's bit-set the table/stash layout does depend on that
+  * order, and Spark's mapGroups value order is not stable across runs, so
+  * the SeenSet build path sorts each bucket's urls first — making
+  * persisted segment bytes a pure function of the url SET.
   *
   * Standard construction, summarized: item hash h (murmur3_128 low half);
   * fingerprint = high 16 bits of h (0 remapped to 1; 0 marks an empty
@@ -187,13 +191,21 @@ object CuckooFilter {
     x
   }
 
+  /** One filter covers one SEEN-SET BUCKET (SeenSet.Config.expectedPerBucket,
+    * ~2.4M at the 10^10/4096-bucket sizing), never the whole frontier —
+    * the cap keeps the table a sane single-task payload (2^26 buckets =
+    * 2^28 slots = 512 MiB) and guards the Int arithmetic; shard via
+    * SeenSet.numBuckets to go bigger. */
+  val MaxBuckets: Long = 1L << 26
+
   def create(expectedItems: Long): CuckooFilter = {
     val needBuckets =
       math.ceil(expectedItems / (SlotsPerBucket * MaxLoadFactor)).toLong.max(1L)
-    val numBuckets = java.lang.Long.highestOneBit(needBuckets) match {
-      case p if p >= needBuckets => p.toInt
-      case p                     => (p << 1).toInt
-    }
+    require(needBuckets <= MaxBuckets,
+      s"cuckoo filter sized for $expectedItems items needs $needBuckets buckets " +
+      s"(max $MaxBuckets, ~${MaxBuckets * SlotsPerBucket} items); shard via SeenSet buckets")
+    val p = java.lang.Long.highestOneBit(needBuckets)
+    val numBuckets = (if (p >= needBuckets) p else p << 1).toInt
     new CuckooFilter(numBuckets, new Array[Short](numBuckets * SlotsPerBucket), 0L,
       scala.collection.mutable.ArrayBuffer.empty, expectedItems * 0x9e3779b97f4a7c15L)
   }

@@ -71,6 +71,24 @@ object SeenSet {
     case Cuckoo => new CuckooUrlFilter(CuckooFilter.create(expected))
   }
 
+  /** Build one bucket's filter from its urls. Bloom bits are insert-order
+    * independent, so the shuffle's group iterator streams straight in; the
+    * cuckoo table/stash layout is NOT (eviction paths depend on order), and
+    * mapGroups value order is not stable across runs/task retries — sort
+    * first so persisted cuckoo segment bytes are a pure function of the
+    * url SET (replay/snapshot comparability). */
+  private def fillFilter(cfg: Config, expected: Long, it: Iterator[String]): UrlFilter = {
+    val f = createFilter(cfg, expected)
+    cfg.filterKind match {
+      case Bloom => it.foreach(f.put)
+      case Cuckoo =>
+        val a = it.toArray
+        java.util.Arrays.sort(a.asInstanceOf[Array[Object]])
+        a.foreach(f.put)
+    }
+    f
+  }
+
   /** Payload-sniffing deserialize: segments written under either filter
     * kind coexist in one LSM chain (a crawl can flip kinds mid-life; the
     * next major compaction rewrites everything under the current kind). */
@@ -101,9 +119,7 @@ object SeenSet {
     import spark.implicits._
     urls.groupByKey(u => bucketOfUrl(u, cfg.numBuckets))
       .mapGroups { (bucket, it) =>
-        val f = createFilter(cfg, cfg.expectedPerBucket)
-        it.foreach(f.put)
-        BucketBloom(bucket, f.serialized)
+        BucketBloom(bucket, fillFilter(cfg, cfg.expectedPerBucket, it).serialized)
       }
   }
 
@@ -124,9 +140,8 @@ object SeenSet {
     urls.groupByKey(u => bucketOfUrl(u, cfg.numBuckets))
       .mapGroups { (bucket, it) =>
         val buf = it.toArray
-        val f = createFilter(cfg, math.max(buf.length.toLong, 64L))
-        buf.foreach(f.put)
-        BucketBloom(bucket, f.serialized)
+        BucketBloom(bucket,
+          fillFilter(cfg, math.max(buf.length.toLong, 64L), buf.iterator).serialized)
       }
   }
 

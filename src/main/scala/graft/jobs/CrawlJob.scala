@@ -364,9 +364,7 @@ object CrawlJob {
       val fSeenBlooms = Future {
         val oldSegs = snap.tables("blooms")
         if (oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments) {
-          val allSeen = snap.tables("seen").split(";").toIndexedSeq
-            .map(spark.read.parquet(_)).reduce(_ unionByName _)
-            .unionByName(seenDelta)
+          val allSeen = store.readTable(spark, snap, "seen").unionByName(seenDelta)
           // repartition by bucket: ~one file per bucket dir, not one per
           // shuffle task per dir
           val compacted =

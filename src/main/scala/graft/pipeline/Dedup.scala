@@ -163,10 +163,11 @@ object Dedup {
     // a (band,bucket) group holds at most one row per input doc, so with
     // <= threshold docs NO bucket can be hot: skip the histogram pass
     // entirely (VERDICT r3 #4 — it doubled the sandbox-scale driver cost
-    // paying for a blowup that cannot happen). The count is metadata-cheap:
-    // Catalyst prunes the signature projection, so a parquet-backed input
-    // answers from footer statistics.
-    val canBeHot = df.count() > hotBucketThreshold
+    // paying for a blowup that cannot happen). limit(k+1).count() bounds
+    // the probe at k+1 rows even for derived (non-parquet) inputs, where a
+    // full count() would recompute the whole upstream lineage.
+    val probeRows = math.min(hotBucketThreshold.toLong + 1, Int.MaxValue).toInt
+    val canBeHot = df.limit(probeRows).count() > hotBucketThreshold
     simhashCandidatePairs(sigs, maxHamming, hotBucketThreshold, canBeHot)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
@@ -279,8 +280,10 @@ object Dedup {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // a (band,bucket) group holds at most one row per input doc: with
     // <= threshold docs no bucket can be hot — skip the histogram pass and
-    // the refinement machinery (VERDICT r3 #4; count is metadata-cheap)
-    if (df.count() <= hotBucketThreshold) {
+    // the refinement machinery (VERDICT r3 #4; limit(k+1).count() bounds
+    // the probe even for derived inputs)
+    val probeRows = math.min(hotBucketThreshold.toLong + 1, Int.MaxValue).toInt
+    if (df.limit(probeRows).count() <= hotBucketThreshold) {
       val pairs = bandedRaw.toDF("id_a", "band", "bucket")
         .join(bandedRaw.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))

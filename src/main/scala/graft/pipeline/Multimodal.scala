@@ -125,7 +125,7 @@ object Multimodal {
             val n = data.length / frameSize
             if (n == 0)
               return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
-            return Some(rmsWindows(data, n * frameSize, n, n, f))
+            return Some(rmsWindows(data, n, n, f))
           }
         if (nFrames == 0)
           return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
@@ -180,7 +180,7 @@ object Multimodal {
   }
 
   /** The buffered-fallback feature pass (no declared frame length). */
-  private def rmsWindows(data: Array[Byte], len: Int, nFrames: Int, totalFrames: Long,
+  private def rmsWindows(data: Array[Byte], nFrames: Int, totalFrames: Long,
                          f: AudioFormat): AudioInfo = {
     val ch = f.getChannels
     val frameSize = f.getFrameSize

@@ -94,7 +94,11 @@ object StreamIngest {
     val idleMs = idleTimeoutMs
     val keyed = pages
       .withColumn("url", url_canonicalize(col("url")))
-      .filter(col("url").isNotNull)
+      // warc_ts drives the watermark AND the idle-timeout arithmetic below
+      // (maxTs over the batch): a null event time would NPE the state
+      // function and kill the query. Rows without a timestamp can't be
+      // event-time gated — route them through the batch scheduler instead.
+      .filter(col("url").isNotNull && col("warc_ts").isNotNull)
       .withColumn("host", url_host(col("url")))
       .withWatermark("warc_ts", watermarkDelay)
       .select(col("host"), col("url"), col("warc_ts"))

@@ -123,9 +123,22 @@ object CrawlJob {
 
   /** Run one epoch on top of the latest snapshot. pages: the PREPARED
     * corpus (unique canonical url, html) from [[preparePages]]; robots:
-    * (host, disallow, allow, crawl_delay) — both read-only. */
+    * (host, disallow, allow, crawl_delay) — both read-only.
+    *
+    * `recrawl`: urls to fetch again even though they are in the seen set
+    * (content refresh / retraction policies). They enter the epoch as
+    * retries=1 candidates, which (a) bypass the seen filter in
+    * [[SeenSet.dedupAndFilterNew]] and (b) are excluded from the
+    * newly-seen delta (scheduledSeq.filter(_.retries == 0)), so the seen
+    * table and filters never grow duplicates — no tombstone machinery
+    * needed, and the epoch stays replay-exact because the recrawl set is
+    * ordinary input data. Unknown/uncrawlable urls drop at
+    * canonicalization like any seed. Still subject to robots + the
+    * per-host politeness budget (a mass refresh cannot starve discovery
+    * of a host's budget beyond one epoch's share). */
   def runEpoch(spark: SparkSession, store: FrontierStore, pages: DataFrame,
-               robots: DataFrame, cfg: Config): EpochResult = {
+               robots: DataFrame, cfg: Config,
+               recrawl: Option[Dataset[String]] = None): EpochResult = {
     import spark.implicits._
     var tPhase = System.nanoTime()
     def phase(name: String): Unit = {
@@ -148,8 +161,19 @@ object CrawlJob {
     val obsNext = Observation(s"next-$epoch")
     val obsDisc = Observation(s"disc-$epoch")
 
-    val frontier = store.readTable(spark, snap, "frontier").as[Candidate]
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val frontierBase = store.readTable(spark, snap, "frontier").as[Candidate]
+    val frontier = (recrawl match {
+      case Some(urls) =>
+        val rc = urls.flatMap(u => PyUrl.canonicalize(u).map(c =>
+          Candidate(c, PyUrl.hostOf(c), 1.0, epoch.toInt, 1))).distinct()
+        // recrawl REPLACES any frontier row for the same url: if a plain
+        // (retries=0) duplicate won the in-batch reduce on priority, the
+        // merged candidate would be seen-filtered and the recrawl request
+        // silently lost
+        frontierBase.join(rc.select("url"), Seq("url"), "left_anti").as[Candidate]
+          .unionByName(rc)
+      case None => frontierBase
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // frontier row count is already known exactly: the previous snapshot
     // recorded it at write time (no extra pass, no metric plumbing)
     val inRows = snap.counters.getOrElse("frontierSize", 0L)

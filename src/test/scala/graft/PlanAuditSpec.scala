@@ -22,10 +22,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
   override def afterAll(): Unit = spark.stop()
 
-  // crawl_schedule runs a stateful mini-crawl (side effects); its plan is
-  // the epoch job's, audited via CrawlJobSpec — skip the dump here.
+  // crawl_schedule* run a stateful mini-crawl (side effects); their plan
+  // is the epoch job's, audited via CrawlJobSpec — skip the dump here.
   private def plans: Seq[(String, String)] =
-    SparkEntry.queries.toSeq.filter(_._1 != "crawl_schedule").map { case (name, fn) =>
+    SparkEntry.queries.toSeq.filter(!_._1.startsWith("crawl_schedule")).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
 
@@ -70,5 +70,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("top-k is TakeOrdered, not a global sort") {
     val tk = SparkEntry.queries("q_topk_orders")(spark, sf).queryExecution.executedPlan.toString
     assert(tk.contains("TakeOrderedAndProject"), "top-k should be TakeOrderedAndProject")
+  }
+
+  test("dedup cold path (checkHot=false) carries no histogram aggregate") {
+    import spark.implicits._
+    val sigs = (1 to 50).map(i => (i.toLong, i.toLong * 7919)).toDF("id", "sig")
+    val cold = graft.pipeline.Dedup
+      .simhashCandidatePairs(sigs, maxHamming = 3, hotBucketThreshold = 1 << 20,
+        checkHot = false)
+      .queryExecution.executedPlan.toString
+    // the guarded plan has a count-per-(band,bucket) HashAggregate feeding
+    // a __hot join; the proven-cold plan must be the bare banded self-join
+    assert(!cold.contains("HashAggregate"), s"cold path grew an aggregate:\n${cold.take(600)}")
+    assert(!cold.contains("__hot"), "cold path must not join against hot keys")
+    val guarded = graft.pipeline.Dedup
+      .simhashCandidatePairs(sigs, maxHamming = 3, hotBucketThreshold = 1 << 20)
+      .queryExecution.executedPlan.toString
+    assert(guarded.contains("__hot"), "guarded path lost its hot-key machinery")
   }
 }

@@ -314,6 +314,37 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-crash rerun must equal the uninterrupted run")
   }
 
+  test("recrawl: an already-crawled url is re-fetched once, seen set gains no duplicates") {
+    import spark.implicits._
+    val (store, _) = runCrawl(2)
+    val snap0 = store.latest().get
+    val crawled = spark.read.parquet(snap0.tables("scheduled").split(";").toIndexedSeq: _*)
+      .select("url").as[String].collect()
+    val target = crawled.head
+    val seenBefore = store.readTable(spark, snap0, "seen")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(seenBefore.contains(target), "fixture url must already be seen")
+    // next epoch with the recrawl input: the url must be scheduled AGAIN
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, N, 8).toDF())
+    val robots = SyntheticCorpus.robots(spark, seed).toDF()
+    val r = CrawlJob.runEpoch(spark, store, pages, robots, cfg,
+      recrawl = Some(spark.createDataset(Seq(target, target, "not a url"))))
+    val snap1 = store.latest().get
+    val lastEpoch = spark.read.parquet(snap1.tables("scheduled").split(";").last)
+      .select("url").as[String].collect()
+    assert(lastEpoch.count(_ == target) == 1,
+      s"recrawled url must be scheduled exactly once in epoch ${r.epoch}")
+    // re-extracted in this epoch
+    val lastExtracted = spark.read.parquet(snap1.tables("extracted").split(";").last)
+      .select("url").as[String].collect()
+    assert(lastExtracted.contains(target), "recrawled url must be re-extracted")
+    // seen set: still duplicate-free, and unchanged for the target
+    val seenAfter = store.readTable(spark, snap1, "seen")
+      .select("url").as[String].collect().toSeq
+    assert(seenAfter.size == seenAfter.distinct.size, "recrawl must not duplicate seen rows")
+    assert(seenAfter.count(_ == target) == 1)
+  }
+
   test("robots gate blocks disallowed paths") {
     val (_, results) = runCrawl(3)
     assert(results.map(_.robotsBlocked).sum > 0, "expected some robots-blocked urls in the synthetic corpus")

@@ -71,10 +71,16 @@ object Bench {
     val exN = 2048L
     def extractRun(n: Long, parts: Int): Unit = {
       import spark.implicits._
-      import org.apache.spark.sql.functions.{col, length}
+      import org.apache.spark.sql.functions.{col, octet_length}
+      // octet_length, NOT length: both force full materialization of the
+      // extracted html through the aggregate, but length() COUNTS UTF-8
+      // CODEPOINTS over the ~500 KB output per row — JFR showed
+      // UTF8String.getNumChars at ~23% of samples, i.e. a fifth of the
+      // "extraction" measurement was spent measuring, not extracting.
+      // octet_length reads the byte count in O(1).
       spark.range(0, n, 1, parts).map(i => ("https://en.wikipedia.org/wiki/Main_Page", wiki))
         .toDF("url", "html")
-        .select(length(graft.sql.GraftFunctions.extract_html(col("html"), col("url"))).as("l"))
+        .select(octet_length(graft.sql.GraftFunctions.extract_html(col("html"), col("url"))).as("l"))
         .agg(Map("l" -> "sum")).collect()
     }
     extractRun(math.max(128L, 4L * cpus), cpus) // warmup (scanner JIT)

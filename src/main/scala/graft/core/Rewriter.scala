@@ -242,7 +242,7 @@ object Rewriter {
       if (res.url == ctx.archive.main.url) {
         encodeText(toHtmlInner(ctx, depth), res.textEncoding.getOrElse("utf-8"))
       } else if (res.mimeType == "text/css") {
-        val sb = new StringBuilder
+        val sb = new StringBuilder(res.data.length)
         processCssResource(ctx, res, sb, null, depth)
         encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
       } else res.data
@@ -587,7 +587,7 @@ object Rewriter {
     val main = archive.main
     if (!Mime.isHtml(main.mimeType))
       return (new String(main.data, charsetFor(main.textEncoding.getOrElse("utf-8"))), "", Vector.empty)
-    val out = new StringBuilder
+    val out = new StringBuilder(main.data.length) // rewrite output >= input
     val obs = new PageObserver(main.url)
     val text = resourceText(main)
     try {
@@ -622,7 +622,9 @@ object Rewriter {
   }
 
   private def toHtmlInner(ctx: ArchiveCtx, depth: Int): String = {
-    val out = new StringBuilder
+    // presize to the input size: output is >= input for a rewrite, and
+    // growing from the default 16 chars costs ~13 array doublings per page
+    val out = new StringBuilder(ctx.archive.main.data.length)
     processHtmlResource(ctx, ctx.archive.main, out, null, depth)
     out.toString
   }
@@ -648,7 +650,7 @@ object Rewriter {
     // main resource
     val mainBytes: Array[Byte] =
       if (Mime.isHtml(archive.main.mimeType)) {
-        val sb = new StringBuilder
+        val sb = new StringBuilder(archive.main.data.length)
         processHtmlResource(ctx, archive.main, sb, subresourceDirBase, 0)
         encodeText(sb.toString, archive.main.textEncoding.getOrElse("utf-8"))
       } else archive.main.data
@@ -659,11 +661,11 @@ object Rewriter {
       val localPath = ctx.getLocalPath(res.url)
       val bytes: Array[Byte] =
         if (res.mimeType == "text/css") {
-          val sb = new StringBuilder
+          val sb = new StringBuilder(res.data.length)
           processCssResource(ctx, res, sb, "", 0)
           encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
         } else if (Mime.isHtml(res.mimeType)) {
-          val sb = new StringBuilder
+          val sb = new StringBuilder(res.data.length)
           processHtmlResource(ctx, res, sb, "", 0)
           encodeText(sb.toString, res.textEncoding.getOrElse("utf-8"))
         } else res.data

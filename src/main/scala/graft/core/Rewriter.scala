@@ -323,90 +323,104 @@ object Rewriter {
         if (localUrl != m) resolved += ((m, localUrl))
       }
     }
-    if (resolved.isEmpty) { output.append(content); return }
-    val distinct = resolved.distinct.toIndexedSeq
-    // a DUPLICATED match is one-pass-safe only if its replacement can
-    // neither contain NOR border-form any match string — its own included
-    // (else a later sequential replace entry for the same match rewrites
-    // text the first one inserted or junction-formed)
-    val dupSafe = distinct.length == resolved.length || {
-      val counts = resolved.groupBy(_._1)
-      resolved.forall { case (m, local) =>
-        counts(m).length == 1 || distinct.forall { case (m2, _) =>
-          !local.contains(m2) && !canBorderForm(local, m2)
-        }
-      }
-    }
-    if (!dupSafe || !onePassCssSplice(content, distinct, output)) {
-      // exact reference behavior (per-occurrence sequential replaces) for
-      // the cases the guards cannot prove
-      for ((m, local) <- resolved) content = content.replace(m, local)
-      output.append(content)
-    }
+    cssReplaceAll(content, resolved.toIndexedSeq, output)
   }
 
-  /** True if an inserted string `r` could participate in an occurrence of
-    * match `m` that extends BEYOND `r` itself (a junction with adjacent
-    * text): `r` empty (deletion joins its neighbors), `r` inside `m`
-    * (incl. equality — the occurrence straddles both ends), a nonempty
-    * proper suffix of `r` equals a prefix of `m`, or a nonempty proper
-    * prefix of `r` equals a suffix of `m`. Cheap: bounded by min(|r|,|m|)²
-    * with |m| a url() operand (short); |r| may be a multi-KB data URI but
-    * only its first/last min-1 chars are examined. */
-  private def canBorderForm(r: String, m: String): Boolean = {
-    if (r.isEmpty || m.contains(r)) return true
-    val lim = math.min(r.length, m.length)
-    var L = 1
-    while (L < lim) {
-      if (r.regionMatches(r.length - L, m, 0, L) ||
-          r.regionMatches(0, m, m.length - L, L)) return true
-      L += 1
+  /** The reference's sequential global-replace chain (util.py:270-276) —
+    * `for (m, r) in resolved: content = content.replace(m, r)`, duplicates
+    * included — accelerated: a one-pass splice with per-pair EFFECTIVE
+    * replacements plus post-splice verification, with the literal
+    * sequential fold as the fallback whenever equivalence is unprovable.
+    *
+    * Effective replacement: a pair that appears k>1 times in the chain
+    * applies its replace k times; applications after the first rewrite the
+    * match INSIDE the previously inserted text (the reference's observable
+    * double-rewrite — e.g. a root-relative url whose absolute replacement
+    * ends with it folds to 'https://host' * k + url). The fixed point is
+    * computed by folding `e = e.replace(m, r)` k-1 times, and the splice
+    * inserts that; any cross-pair interference with the intermediate
+    * states is caught by the verification (an occurrence inside a span
+    * inserted before the interfering pair's last step fails the seq-order
+    * rule) and falls back. */
+  private[core] def cssReplaceAll(content: String, resolved: IndexedSeq[(String, String)],
+                                  output: StringBuilder): Unit = {
+    if (resolved.isEmpty) { output.append(content); return }
+    val distinct = resolved.distinct.toIndexedSeq
+    def sequentialFallback(): Unit = {
+      var c = content
+      for ((m, local) <- resolved) c = c.replace(m, local)
+      output.append(c)
     }
-    false
+    // one replacement per match is assumed by the effective-fold and the
+    // splice (the css resolver memoizes per match, so this never triggers
+    // there; the guard keeps the helper safe for other callers)
+    if (distinct.map(_._1).distinct.length != distinct.length) { sequentialFallback(); return }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    val first = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    val last = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    var p = 0
+    while (p < resolved.length) {
+      val key = resolved(p)
+      counts(key) = counts.getOrElse(key, 0) + 1
+      if (!first.contains(key)) first(key) = p
+      last(key) = p
+      p += 1
+    }
+    val effective = distinct.map { case (m, r) =>
+      var e = r
+      var t = 1
+      val k = counts((m, r))
+      while (t < k) { e = e.replace(m, r); t += 1 }
+      (m, e)
+    }
+    val seqBounds = distinct.map(d => (first(d), last(d)))
+    if (!onePassCssSplice(content, effective, output, seqBounds))
+      sequentialFallback()
   }
 
   /** Appends `content` with every occurrence of each match string replaced
     * — equivalent to the sequential global-replace chain — and returns
-    * true, IF equivalence is provable:
-    *  (1) no replacement contains ANOTHER match string (else a later
-    *      sequential replace would rewrite inserted text; a replacement
-    *      containing ITS OWN match is fine — String.replace never rescans
-    *      its own insertions within one call);
-    *  (2) no match string is a substring of another (else which one wins
+    * true IF equivalence holds; returns false with `output` untouched
+    * otherwise. SPLICE-THEN-VERIFY (r4; replaces the r3 pre-guards, which
+    * bailed on any 1-char replacement/match boundary coincidence — ~1/64
+    * per pair against base64 data URIs, so real sheets kept paying the
+    * quadratic sequential chain):
+    *
+    * Pre-checks (make "replace all original occurrences" well-defined):
+    *  (a) no match string is a substring of another (else which one wins
     *      depends on list order);
-    *  (3) no two occurrences of different matches overlap in the original
-    *      content (else the earlier-REPLACED one consumes the other);
-    *  (4) JUNCTION guard: no replacement r_i can combine with ADJACENT text
-    *      to form an occurrence of another match m_j — i.e. no nonempty
-    *      proper suffix of r_i is a prefix of m_j, no nonempty proper
-    *      prefix of r_i is a suffix of m_j, r_i is not a substring of m_j,
-    *      and no replacement is empty. Without (4) a sequential replace
-    *      rewrites junction-formed occurrences the splice cannot see:
-    *      a comment holding './x.png' plus `url(./x) url(d/x.png)` where
-    *      './x' resolves to 'https://h.x/d/x' — the sequential chain turns
-    *      the comment text into '.../d/x.png' and the later
-    *      replace('d/x.png', ...) rewrites it.
-    * Under (1)-(4) every occurrence any sequential replace sees maps to an
-    * original occurrence of its own match (inserted text can neither
-    * contain nor border-form a later match), so the final string is a
-    * single splice. (4) skips i==j: an insertion is never rescanned within
-    * its own replace call, and no LATER step replaces the same match — the
-    * common 'a.png'→'dir/a.png' self-suffix case stays one-pass.
-    * Returns false (output untouched) when any guard fails.
+    *  (b) no two occurrences of different matches overlap in the original
+    *      content (else the earlier-REPLACED one consumes the other).
+    *
+    * Then the splice is BUILT and VERIFIED: every occurrence of every
+    * match string m_i in the spliced result must lie entirely inside a
+    * replacement span of pair j where either j == i (its own insertion:
+    * a single replace never rescans its insertions, and a DUPLICATED
+    * pair's extra applications are pre-folded into the caller-supplied
+    * EFFECTIVE replacement — see [[cssReplaceAll]] — so residual
+    * own-match text is exactly what the sequential chain leaves) or
+    * firstSeq(j) > lastSeq(i) (r_j text first appears only after every
+    * replace of m_i has run). Any other occurrence —
+    * outside spans, straddling a span boundary (a JUNCTION the sequential
+    * chain would rewrite: e.g. a comment's './x.png' whose './x' becomes
+    * '.../d/x' and junction-forms 'd/x.png' for a later replace), or
+    * inside an earlier-inserted replacement — fails verification and the
+    * splice is rolled back. Verification cost: one indexOf sweep of the
+    * output per match (intrinsified) — far below one sequential replace.
+    *
+    * `seqBounds(i)` = (first, last) sequential step of pair i when the
+    * caller's chain runs pairs multiple times (duplicated matches);
+    * defaults to (i, i).
     * Property-tested against the sequential fold over adversarial inputs. */
   private[core] def onePassCssSplice(content: String, repl: IndexedSeq[(String, String)],
-                                     output: StringBuilder): Boolean = {
+                                     output: StringBuilder,
+                                     seqBounds: IndexedSeq[(Int, Int)] = null): Boolean = {
     val k = repl.length
     var i = 0
-    while (i < k) {
+    while (i < k) { // pre-check (a)
       var j = 0
       while (j < k) {
-        if (i != j) {
-          val r = repl(i)._2
-          val m = repl(j)._1
-          if (r.contains(m) || repl(i)._1.contains(m)) return false
-          if (canBorderForm(r, m)) return false // guard (4)
-        }
+        if (i != j && repl(i)._1.contains(repl(j)._1)) return false
         j += 1
       }
       i += 1
@@ -426,21 +440,58 @@ object Rewriter {
     }
     val sorted = occ.sortBy(_._1).toIndexedSeq
     var p = 0
-    while (p + 1 < sorted.length) {
+    while (p + 1 < sorted.length) { // pre-check (b)
       if (sorted(p + 1)._1 < sorted(p)._2) return false // overlap: order-dependent
       p += 1
     }
+    val jsb = output.underlying // scala StringBuilder lacks the 3-arg
+    val base = jsb.length()     // (CharSequence, from, to) append overload
+    // splice, recording replacement spans in output-relative coordinates
+    val spanStart = new Array[Int](sorted.length)
+    val spanEnd = new Array[Int](sorted.length)
+    val spanIdx = new Array[Int](sorted.length)
     var pos = 0
     p = 0
-    val jsb = output.underlying // scala StringBuilder lacks the 3-arg
-    while (p < sorted.length) { // (CharSequence, from, to) append overload
+    while (p < sorted.length) {
       val (s, e, idx) = sorted(p)
       jsb.append(content, pos, s)
+      spanStart(p) = jsb.length() - base
       output.append(repl(idx)._2)
+      spanEnd(p) = jsb.length() - base
+      spanIdx(p) = idx
       pos = e
       p += 1
     }
     jsb.append(content, pos, content.length)
+    // verify on the spliced text (one String copy; indexOf is intrinsified)
+    val spliced = jsb.substring(base)
+    def firstSeq(j: Int) = if (seqBounds == null) j else seqBounds(j)._1
+    def lastSeq(j: Int) = if (seqBounds == null) j else seqBounds(j)._2
+    i = 0
+    while (i < k) {
+      val m = repl(i)._1
+      var from = spliced.indexOf(m)
+      while (from >= 0) {
+        val end = from + m.length
+        // last span with start <= from (binary search), then walk back over
+        // same-start empty spans to the one that could contain [from, end)
+        var lo = 0; var hi = sorted.length - 1; var cand = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (spanStart(mid) <= from) { cand = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        while (cand > 0 && spanStart(cand) == spanStart(cand - 1) && spanEnd(cand) < end)
+          cand -= 1
+        val inside = cand >= 0 && spanStart(cand) <= from && spanEnd(cand) >= end
+        val safe = inside && {
+          val j = spanIdx(cand)
+          j == i || firstSeq(j) > lastSeq(i)
+        }
+        if (!safe) { jsb.setLength(base); return false }
+        from = spliced.indexOf(m, from + 1)
+      }
+      i += 1
+    }
     true
   }
 

@@ -90,28 +90,81 @@ class PropertySpec extends AnyFunSuite {
     assert(accepted > 10, s"guards too conservative: only $accepted accepted samples")
   }
 
-  test("css splice junction guard: replacement boundary + adjacent text forming another match") {
-    // r0='b' junction: 'a' + r0 would form m1='ab' which the sequential
-    // chain rewrites — the splice must refuse (canBorderForm: 'ab' ∋ 'b')
+  test("cssReplaceAll == sequential chain under DUPLICATED pairs (effective-replacement fold)") {
+    // the duplicate path: a pair appearing k times applies its replace k
+    // times sequentially (observable double-rewrite when r contains m);
+    // cssReplaceAll folds that into an effective replacement and must
+    // match the literal chain on every input, falling back when unsure
+    val tok = Gen.oneOf("a", "b", "ab", "ba", "Xab", "bX", "a.p", "/a", ".")
+    val gen = for {
+      content <- Gen.listOf(tok).map(_.mkString)
+      n <- Gen.choose(0, 5)
+      chain <- Gen.listOfN(n, for { m <- tok; r <- tok } yield (m, r))
+    } yield (content, chain.filter { case (m, r) => m.nonEmpty && m != r })
+    forAll(gen) { case (content, chain0) =>
+      // duplicates with a CONSISTENT replacement per match (the resolver
+      // memoizes per match, so real chains always satisfy this)
+      val byMatch = chain0.toMap
+      val chain = chain0.map { case (m, _) => (m, byMatch(m)) }.toIndexedSeq
+      val want = chain.foldLeft(content) { case (c, (m, r)) => c.replace(m, r) }
+      val out = new StringBuilder
+      Rewriter.cssReplaceAll(content, chain, out)
+      assert(out.toString == want,
+        s"cssReplaceAll mismatch for content='$content' chain=$chain: got '${out.toString}' want '$want'")
+    }
+    // the Wikipedia-fixture shape: duplicated root-relative url whose
+    // absolute replacement ends with it — folds to H*k + m
+    val m = "/w/img/x.png"
+    val r = "https://en.example" + m
     val out = new StringBuilder
-    assert(!Rewriter.onePassCssSplice("a.", IndexedSeq(("." -> "b"), ("ab" -> "X")), out))
-    assert(out.isEmpty)
-    // suffix-of-replacement == prefix-of-other-match (the ADVICE shape):
-    // r0 ends 'd/x', m1 starts 'd/x' → junction possible → refuse
-    assert(!Rewriter.onePassCssSplice("url(./x) url(d/x.png)",
-      IndexedSeq(("./x" -> "https://h.x/d/x"), ("d/x.png" -> "pf/x.png")), out))
-    // prefix-of-replacement == suffix-of-other-match → refuse
-    assert(!Rewriter.onePassCssSplice("u v",
-      IndexedSeq(("u" -> "w!"), ("v w" -> "z")), out))
-    // replacement strictly inside another match (straddles both ends) → refuse
-    assert(!Rewriter.onePassCssSplice("q r",
-      IndexedSeq(("q" -> "o"), ("xoy" -> "z")), out))
-    // empty replacement (deletion joins neighbors) → refuse
-    assert(!Rewriter.onePassCssSplice("a.b", IndexedSeq(("." -> ""), ("ab" -> "X")), out))
+    Rewriter.cssReplaceAll(s"url($m) body url($m)",
+      IndexedSeq((m, r), (m, r)), out)
+    val want = Seq((m, r), (m, r)).foldLeft(s"url($m) body url($m)") {
+      case (c, (mm, rr)) => c.replace(mm, rr)
+    }
+    assert(out.toString == want && want.contains("https://en.examplehttps://en.example"),
+      s"double-rewrite fold: got '${out.toString}' want '$want'")
+  }
+
+  test("css splice verification: junction-formed matches force fallback; benign boundaries splice") {
+    def seq(content: String, repl: Seq[(String, String)]): String =
+      repl.foldLeft(content) { case (c, (m, r)) => c.replace(m, r) }
+    def spliceOrNone(content: String, repl: IndexedSeq[(String, String)]): Option[String] = {
+      val out = new StringBuilder
+      if (Rewriter.onePassCssSplice(content, repl, out)) Some(out.toString) else None
+    }
+    // ACTUAL junction: '.'->'b' next to 'a' forms m1='ab' which the
+    // sequential chain rewrites — verification must roll back
+    assert(spliceOrNone("a.", IndexedSeq(("." -> "b"), ("ab" -> "X"))).isEmpty)
+    // rollback leaves output untouched even when non-empty before the call
+    locally {
+      val out = new StringBuilder("pre")
+      assert(!Rewriter.onePassCssSplice("a.", IndexedSeq(("." -> "b"), ("ab" -> "X")), out))
+      assert(out.toString == "pre")
+    }
+    // empty replacement whose deletion joins neighbors into another match
+    assert(spliceOrNone("a.b", IndexedSeq(("." -> ""), ("ab" -> "X"))).isEmpty)
+    // the ADVICE r3 end-to-end shape is covered by the processCssResource
+    // parity test below; the REDUCED pair here has no junction in the
+    // actual content, so r4's verification accepts it — with the
+    // sequential result (r3's pre-guard refused on the mere possibility)
+    for ((c, r) <- Seq(
+      ("url(./x) url(d/x.png)",
+        IndexedSeq(("./x" -> "https://h.x/d/x"), ("d/x.png" -> "pf/x.png"))),
+      ("u v", IndexedSeq(("u" -> "w!"), ("v w" -> "z"))),
+      ("q r", IndexedSeq(("q" -> "o"), ("xoy" -> "z"))),
+      // 1-char boundary coincidence (r0 ends 'b', m1 starts 'b') with no
+      // junction in content — the common base64-data-URI shape that made
+      // the r3 guard fall back ~1/64 of the time per pair
+      ("url(a.png) url(b.png)", IndexedSeq(("a.png" -> "xb"), ("b.png" -> "y")))
+    )) {
+      val got = spliceOrNone(c, r)
+      assert(got.contains(seq(c, r)), s"content='$c': got $got want ${seq(c, r)}")
+    }
     // and a junction-free pair is still accepted one-pass
-    assert(Rewriter.onePassCssSplice("url(one) url(two)",
-      IndexedSeq(("one" -> "pf/1.css"), ("two" -> "pf/2.css")), out))
-    assert(out.toString == "url(pf/1.css) url(pf/2.css)")
+    assert(spliceOrNone("url(one) url(two)",
+      IndexedSeq(("one" -> "pf/1.css"), ("two" -> "pf/2.css")))
+      .contains("url(pf/1.css) url(pf/2.css)"))
   }
 
   test("css junction rewrite parity end-to-end (ADVICE r3: comment text re-formed by splice miss)") {

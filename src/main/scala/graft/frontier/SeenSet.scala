@@ -156,11 +156,18 @@ object SeenSet {
     * anti-join: since the url-dedup key and the bloom bucket are both
     * functions of url, one shuffle by bucket serves both (a separate
     * groupByKey(url) pass would shuffle the same rows twice). Retried
-    * candidates bypass the seen check (scheduled once already, fetch
-    * missed). Returns the deduplicated not-seen candidates. */
+    * candidates (fetch-miss retries, recrawl requests) PASS regardless of
+    * the seen verdict, but their verdict is still computed: the second
+    * return value is the retried urls that are provably NOT in the seen
+    * set (bloom miss — no false negatives — or exact-anti-join survivor),
+    * which the caller must register as seen once scheduled (a recrawled
+    * never-seen url would otherwise stay unseen forever and be re-crawled
+    * by every future discovery). A fetch-miss retry is already seen and
+    * never appears there. Returns (deduplicated schedulable candidates,
+    * provably-new retried urls). */
   def dedupAndFilterNew(spark: SparkSession, candidates: Dataset[Candidate],
                         seen: DataFrame, blooms: Dataset[BucketBloom],
-                        cfg: Config): Dataset[Candidate] = {
+                        cfg: Config): (Dataset[Candidate], Dataset[String]) = {
     import spark.implicits._
     val marked: Dataset[(Candidate, Boolean)] =
       candidates.groupByKey(c => bucketOfUrl(c.url, cfg.numBuckets))
@@ -178,11 +185,9 @@ object SeenSet {
             def next() = {
               val c = it.next()
               var maybe = false
-              if (c.retries == 0) {
-                var i = 0
-                while (!maybe && i < fs.length) {
-                  maybe = fs(i).mightContain(c.url); i += 1
-                }
+              var i = 0
+              while (!maybe && i < fs.length) {
+                maybe = fs(i).mightContain(c.url); i += 1
               }
               (c, maybe)
             }
@@ -201,7 +206,12 @@ object SeenSet {
       prunedSeen(seen, hotBuckets, cfg.numBuckets)
     } else seen
     val survived = maybe.join(pruned.select(col("url")), Seq("url"), "left_anti").as[Candidate]
-    definitelyNew.unionByName(survived)
+    val kept = definitelyNew
+      .unionByName(survived.filter(_.retries == 0))
+      .unionByName(maybe.filter(_.retries > 0))
+    val newRetried = definitelyNew.filter(_.retries > 0).map(_.url)
+      .unionByName(survived.filter(_.retries > 0).map(_.url))
+    (kept, newRetried)
   }
 
   /** The exact seen-table read restricted to the buckets that actually

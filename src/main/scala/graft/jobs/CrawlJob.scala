@@ -175,15 +175,23 @@ object CrawlJob {
       case None => frontierBase
     }).persist(StorageLevel.MEMORY_AND_DISK)
     // frontier row count is already known exactly: the previous snapshot
-    // recorded it at write time (no extra pass, no metric plumbing)
-    val inRows = snap.counters.getOrElse("frontierSize", 0L)
+    // recorded it at write time (no extra pass, no metric plumbing). A
+    // recrawl epoch changed the row set (anti-join removal + union), so
+    // the counter is stale — count the persisted frame instead (reads the
+    // cache; recrawl epochs are operator-initiated, not the steady state)
+    val inRows =
+      if (recrawl.isDefined) frontier.count()
+      else snap.counters.getOrElse("frontierSize", 0L)
     val seen = store.readTable(spark, snap, "seen")
     val blooms = store.readTable(spark, snap, "blooms").as[SeenSet.BucketBloom]
 
     // 1+2. FUSED in-batch URL dedup + seen-set filter: one shuffle by
     //    bucket serves both (url-dedup key and bloom bucket are both
-    //    functions of url); retries bypass the seen check inside
-    val unseen = SeenSet.dedupAndFilterNew(spark, frontier, seen, blooms, cfg.seen)
+    //    functions of url); retried/recrawl candidates pass the gate but
+    //    their provably-new subset comes back for seen registration
+    val (unseenRaw, newRetriedUrls) =
+      SeenSet.dedupAndFilterNew(spark, frontier, seen, blooms, cfg.seen)
+    val unseen = unseenRaw
       .toDF().observe(obsUnseen, count(lit(1)).as("n")).as[Candidate]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -328,7 +336,13 @@ object CrawlJob {
       .unionByName(discovered)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // fresh scheduled urls are new by construction; scheduled RETRIED urls
+    // are new only when the seen filter proved it (a recrawled never-seen
+    // url — register it, else every future discovery re-crawls it; a
+    // fetch-miss retry is already seen and must not duplicate)
     val newlySeen = scheduledSeq.filter(_.retries == 0).map(_.url)
+      .union(scheduledSeq.filter(_.retries > 0).map(_.url).toDF("url")
+        .join(newRetriedUrls.toDF("url"), Seq("url"), "left_semi").as[String])
     // seen set is APPEND-ONLY: write just this epoch's delta; the snapshot
     // records the segment list (rewriting a 10^10-row table per epoch is
     // not an option)

@@ -46,7 +46,7 @@ class SeenSetSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(u => (u, SeenSet.bucketOfUrl(u, cfg.numBuckets))).toDF("url", "bucket")
       val out = SeenSet.dedupAndFilterNew(spark,
         cands(seenUrls.take(50) ++ freshUrls ++ freshUrls.take(30) /* in-batch dupes */),
-        seen, blooms, cfg).collect().map(_.url).toSet
+        seen, blooms, cfg)._1.collect().map(_.url).toSet
       assert(out == freshUrls.toSet,
         s"numBuckets=$numBuckets: seen urls must be filtered, fresh kept exactly once")
     }
@@ -124,7 +124,7 @@ class SeenSetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val blooms = SeenSet.buildBlooms(spark, spark.createDataset(seenUrls), cfg)
     val out = SeenSet.dedupAndFilterNew(spark,
       cands(seenUrls.take(80) ++ freshUrls ++ freshUrls.take(20)),
-      seenDf, blooms, cfg).collect().map(_.url).toSet
+      seenDf, blooms, cfg)._1.collect().map(_.url).toSet
     assert(out == freshUrls.toSet,
       "pruned anti-join at 128 buckets must drop seen urls and keep fresh exactly once")
   }

@@ -345,6 +345,34 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seenAfter.count(_ == target) == 1)
   }
 
+  test("recrawl of a NEVER-seen url registers it as seen (no future re-crawl)") {
+    import spark.implicits._
+    val (store, _) = runCrawl(1)
+    val snap0 = store.latest().get
+    val seen0 = store.readTable(spark, snap0, "seen")
+      .select("url").as[String].collect().toSet
+    // a corpus url that exists but has not been crawled or seen yet
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, N, 8).toDF())
+    val fresh = pages.select("url").as[String].collect().find(!seen0.contains(_)).get
+    val robots = SyntheticCorpus.robots(spark, seed).toDF()
+    CrawlJob.runEpoch(spark, store, pages, robots, cfg,
+      recrawl = Some(spark.createDataset(Seq(fresh))))
+    val snap1 = store.latest().get
+    val lastSched = spark.read.parquet(snap1.tables("scheduled").split(";").last)
+      .select("url").as[String].collect()
+    assert(lastSched.contains(fresh), "never-seen recrawl url must be scheduled")
+    val seen1 = store.readTable(spark, snap1, "seen")
+      .select("url").as[String].collect().toSeq
+    assert(seen1.count(_ == fresh) == 1,
+      "a recrawled never-seen url must register as seen exactly once")
+    // and a later epoch must NOT schedule it again
+    val r2 = CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+    val snap2 = store.latest().get
+    val sched2 = spark.read.parquet(snap2.tables("scheduled").split(";").last)
+      .select("url").as[String].collect()
+    assert(!sched2.contains(fresh), s"epoch ${r2.epoch} re-crawled a registered url")
+  }
+
   test("robots gate blocks disallowed paths") {
     val (_, results) = runCrawl(3)
     assert(results.map(_.robotsBlocked).sum > 0, "expected some robots-blocked urls in the synthetic corpus")

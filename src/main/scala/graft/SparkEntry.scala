@@ -335,6 +335,40 @@ object SparkEntry {
              sum(length(col("extracted_html"))).as("html_chars"))
     }),
 
+    "stream_host_gate" -> ((s, d) => {
+      // the flatMapGroupsWithState politeness gate end-to-end, driver
+      // visible: two EXPLICIT micro-batches (processAllAvailable between
+      // addData calls pins the batch boundary, so served/deferred/overflow
+      // splits are deterministic). Host A sends 7 urls then 1 more against
+      // budget 2 and maxPending 3; host B sends 2. Batch 1: A serves 2,
+      // defers 3, overflows 2; B serves 2. Batch 2: A serves urls 3-4
+      // (FIFO from the carried pending — BEFORE the newly arrived 8) and
+      // defers the new url 8; url 5 stays pending (already reported).
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val input = MemoryStream[(String, java.sql.Timestamp, Array[Byte])]
+      val t0 = 1700000000000L
+      val html = Array.empty[Byte]
+      val sink = "host_gate_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamIngest.hostBudget(
+          s, input.toDF().toDF("url", "warc_ts", "html"),
+          perBatchBudget = 2, maxPending = 3)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        input.addData(
+          (1 to 7).map(i => (s"https://ga.example/$i.html", new java.sql.Timestamp(t0), html)) ++
+          (1 to 2).map(i => (s"https://gb.example/$i.html", new java.sql.Timestamp(t0), html)))
+        q.processAllAvailable()
+        input.addData(Seq(("https://ga.example/8.html", new java.sql.Timestamp(t0 + 1000), html)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .groupBy(col("host"), col("status"))
+        .agg(count(lit(1)).as("n"), min(col("url")).as("first_url"))
+        .orderBy("host", "status")
+    }),
+
     "extract_sink_manifest" -> ((s, d) => {
       // the DISTRIBUTED filesystem sink end-to-end (ExtractSink S5): 21
       // archives (the Wikipedia fixture + 20 synthetic pages) extracted
@@ -630,6 +664,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(100 AS BIGINT), CAST(1538 AS BIGINT), CAST(1250 AS BIGINT), CAST(1357 AS BIGINT), CAST(1117 AS BIGINT), CAST(100 AS BIGINT))) AS t(n, w_sum, h_sum, tw_sum, th_sum, distinct_thumbs)""",
     "stream_ingest" ->
       """SELECT * FROM (VALUES (CAST(200 AS BIGINT), CAST(200 AS BIGINT), CAST(1850 AS BIGINT), CAST(248547 AS BIGINT))) AS t(extracted_rows, urls, outlinks, html_chars)""",
+    "stream_host_gate" ->
+      """SELECT * FROM (VALUES ('ga.example', 'deferred', CAST(4 AS BIGINT), 'https://ga.example/3.html'),
+         ('ga.example', 'overflow', 2, 'https://ga.example/6.html'),
+         ('ga.example', 'served', 4, 'https://ga.example/1.html'),
+         ('gb.example', 'served', 2, 'https://gb.example/1.html')) AS t(host, status, n, first_url)""",
     "media_frame_sample" ->
       """SELECT * FROM (VALUES (CAST(1201 AS BIGINT), CAST(100 AS BIGINT), CAST(664500 AS BIGINT), CAST(1201 AS BIGINT))) AS t(frames, clips, ts_sum, distinct_frames)""",
     "media_features" ->

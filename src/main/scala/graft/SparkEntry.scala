@@ -222,6 +222,21 @@ object SparkEntry {
         q, 10, planes = 10, dim = q.length)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
+    "ann_ivf_topk" -> ((s, d) => {
+      // inverted-file ANN: deterministic fixed-point k-means quantizer
+      // (partitioning-invariant centroids), probe the 8 cells nearest the
+      // query, exact-rank inside — the data-adaptive counterpart to the
+      // hyperplane LSH path. The synthetic embeddings are near-uniform
+      // (no cluster structure for the quantizer to exploit), so the
+      // sandbox query probes half the cells; PipelineSpec pins recall 1.0
+      // on a clustered corpus at nProbe=2/16 — the regime IVF exists for
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val first = emb.filter(col("vec_id") === 0).select("embedding").collect()(0)
+      val q = first.getSeq[Float](0)
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, 10, nCells = 16, nProbe = 8, dim = q.length)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
 
     // ---- text analysis --------------------------------------------------------
     "text_tokens" -> ((s, d) =>
@@ -650,6 +665,17 @@ object SparkEntry {
          (361, CAST('0.0582' AS DOUBLE)),
          (57, CAST('0.0326' AS DOUBLE)),
          (212, CAST('-0.1097' AS DOUBLE))) AS t(vec_id, cosine)""",
+    "ann_ivf_topk" ->
+      """SELECT * FROM (VALUES (CAST(365 AS BIGINT), CAST('0.37' AS DOUBLE)),
+         (334, CAST('0.3627' AS DOUBLE)),
+         (387, CAST('0.3311' AS DOUBLE)),
+         (423, CAST('0.2969' AS DOUBLE)),
+         (73, CAST('0.2954' AS DOUBLE)),
+         (7, CAST('0.2928' AS DOUBLE)),
+         (190, CAST('0.2818' AS DOUBLE)),
+         (464, CAST('0.2766' AS DOUBLE)),
+         (388, CAST('0.2763' AS DOUBLE)),
+         (483, CAST('0.2567' AS DOUBLE))) AS t(vec_id, cosine)""",
     "dedup_minhash" ->
       """SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST('0.9709' AS DOUBLE))) AS t(pairs, avg_jaccard)""",
     "dedup_ngram_jaccard" ->

@@ -51,6 +51,41 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, dim: Int, seed: Lon
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** nearest_cell(vec: array<float|double>) -> int: argmax dot product
+  * against a flattened (nCells x dim) centroid matrix — the IVF coarse
+  * quantizer assignment, one tight loop per row. Ties break to the lowest
+  * cell index (deterministic). */
+case class NearestCellExpr(child: Expression, flatCentroids: Array[Double],
+                           nCells: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float|double>")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var acc = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { acc += arr.getFloat(i).toDouble * flatCentroids(off + i); i += 1 }
+      else while (i < n) { acc += arr.getDouble(i) * flatCentroids(off + i); i += 1 }
+      if (acc > bestDot) { bestDot = acc; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Similarity search over an embedding column (array<float>).
   *
   * Baseline: brute-force cosine top-k — one scan, no shuffle except the
@@ -113,6 +148,113 @@ object Similarity {
     corpus.select(col(idCol), cosine(col(vecCol), qArr).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  // ---- IVF (inverted-file) ANN -----------------------------------------
+
+  /** Train the IVF coarse quantizer: k-means centroids that are a PURE
+    * FUNCTION OF THE DATA SET — identical under any partitioning/core
+    * count (oracle-exact), which standard kmeans|| is not (it tree-
+    * aggregates floats in partition order):
+    *  - init: the vectors whose ids have the nCells smallest xxhash64
+    *    values (deterministic, data-dependent spread);
+    *  - assignment: nearest centroid by dot product on L2-normalized
+    *    centroids (= cosine for any input scale);
+    *  - update: per-dimension FIXED-POINT accumulation — each component
+    *    rounds to a 2^20-scaled Long before the sum, and INTEGER addition
+    *    is associative+commutative, so the aggregation order Spark picks
+    *    cannot change the centroid (the ~1e-6 quantization is irrelevant
+    *    to a coarse quantizer). One shuffle per iteration
+    *    (posexplode -> groupBy(cell, dim) -> sum), centroid matrix on the
+    *    driver (nCells x dim doubles — tiny).
+    * At the 100 TB design point: train on a sample (the quantizer needs
+    * distribution shape, not every row), then one assignment pass writes
+    * the bucketed table partitioned by cell — per-query probes then read
+    * nProbe cell directories only. */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, dim: Int, iters: Int = 4): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val Scale = 1L << 20
+    // deterministic seed rows: nCells smallest xxhash64(id)
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h", "id").limit(nCells)
+      .select("v").as[Seq[Float]].collect()
+      .map(v => normalized(v.map(_.toDouble).toArray, dim))
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.select(col(idCol).as("id"),
+        nearestCell(col(vecCol), centroids, dim).as("__cell"),
+        posexplode(col(vecCol)))
+        .select(col("__cell"), col("pos"),
+          (col("col").cast("double") * Scale).cast("long").as("fx"))
+      val sums = assigned.groupBy("__cell", "pos")
+        .agg(sum("fx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(centroids.length)(new Array[Double](dim))
+      val cnt = new Array[Long](centroids.length)
+      for (r <- sums) {
+        val c = r.getInt(0); val p = r.getInt(1)
+        acc(c)(p) = r.getLong(2).toDouble / Scale
+        cnt(c) = r.getLong(3) // same for every pos of the cell
+      }
+      centroids = centroids.indices.map { c =>
+        if (cnt(c) == 0) centroids(c) // empty cell keeps its centroid
+        else normalized(acc(c).map(_ / cnt(c)), dim)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  private def normalized(v: Array[Double], dim: Int): Array[Double] = {
+    val out = java.util.Arrays.copyOf(v, dim)
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += out(i) * out(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < dim) { out(i) /= n; i += 1 } }
+    out
+  }
+
+  /** argmax-dot cell assignment column over a centroid matrix. */
+  private[pipeline] def nearestCell(vec: Column, centroids: Array[Array[Double]],
+                                    dim: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NearestCellExpr(org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        centroids.flatten, centroids.length, dim))
+
+  /** IVF ANN top-k: train the quantizer, assign the corpus to inverted
+    * lists, probe the nProbe cells nearest the query, exact-rank inside.
+    * vs [[lshTopK]]: centroids ADAPT to the data (hyperplanes are
+    * data-oblivious), so list sizes stay balanced where data is dense and
+    * recall per probed row is higher on clustered corpora. Plan per
+    * query: cell filter -> cosine project -> TakeOrdered(k). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
+              dim: Int = 64, iters: Int = 4): DataFrame = {
+    val centroids = trainIvf(corpus, idCol, vecCol, nCells, dim, iters)
+    val bucketed = corpus.withColumn("__cell", nearestCell(col(vecCol), centroids, dim))
+    // query-side cell ranking on the driver, same math as the expression
+    val qd = query.map(_.toDouble).toArray
+    val probes = centroids.indices
+      .map(c => (c, dotArr(qd, centroids(c), dim)))
+      .sortBy { case (c, d) => (-d, c) }
+      .take(nProbe).map(_._1)
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
+    bucketed.filter(col("__cell").isin(probes.map(Int.box): _*))
+      .select(col(idCol), cosine(col(vecCol), qArr).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double], dim: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** LSH-bucketed ANN: probe the query's bucket plus all 1-bit-flip

@@ -153,6 +153,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.nonEmpty && lsh(0).getLong(0) == 1L, "LSH must find the identical twin (same bucket)")
   }
 
+  test("IVF ANN: full recall on a clustered corpus at nProbe=2; centroids partition-invariant") {
+    import spark.implicits._
+    // the regime IVF exists for: clustered data, where the quantizer
+    // adapts and a few probed cells hold all true neighbors. 8 clusters x
+    // 40 jittered members; the query sits in cluster 3, whose 10 nearest
+    // members must ALL surface while probing only 2 of 16 cells.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 8).flatMap { c =>
+      (0 until 40).map { m =>
+        val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+        ((c * 40 + m).toLong, v)
+      }
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val query = centers(3).map(_.toFloat).toSeq
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", query, 10,
+      nCells = 16, nProbe = 2, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == exact,
+      s"IVF at nProbe=2/16 must achieve full recall on clustered data: got $ivf want $exact")
+    // centroid training must be a pure function of the data SET: identical
+    // under different partitionings (the fixed-point accumulation claim)
+    val c1 = Similarity.trainIvf(corpus.repartition(1), "vec_id", "embedding", 16, dim)
+    val c7 = Similarity.trainIvf(corpus.repartition(7), "vec_id", "embedding", 16, dim)
+    assert(c1.length == c7.length &&
+      c1.zip(c7).forall { case (a, b) => a.sameElements(b) },
+      "centroids must be bit-identical across partitionings")
+  }
+
   test("text stats: token counts, langid, quality, fingerprint stability") {
     import spark.implicits._
     val en = "the cat sat of the mat and it was good for everyone involved " * 4

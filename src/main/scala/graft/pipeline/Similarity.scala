@@ -176,33 +176,43 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val Scale = 1L << 20
-    // deterministic seed rows: nCells smallest xxhash64(id)
+    // deterministic seed rows: nCells smallest xxhash64(id) — hashing the
+    // id column AS ITS OWN TYPE (a long cast would null out string ids and
+    // collapse every hash to xxhash64(null)); string tiebreak for the
+    // (practically impossible) hash collision. array<double> embeddings
+    // are first-class: everything trains in doubles.
     var centroids: Array[Array[Double]] = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("__h", xxhash64(col("id")))
-      .orderBy("__h", "id").limit(nCells)
-      .select("v").as[Seq[Float]].collect()
-      .map(v => normalized(v.map(_.toDouble).toArray, dim))
+      .orderBy(col("__h"), col("id").cast("string")).limit(nCells)
+      .select("v").as[Seq[Double]].collect()
+      .map(v => normalized(v.toArray, dim))
     var it = 0
     while (it < iters) {
-      val assigned = corpus.select(col(idCol).as("id"),
+      val assigned = corpus.select(
         nearestCell(col(vecCol), centroids, dim).as("__cell"),
         posexplode(col(vecCol)))
+        .filter(col("pos") < dim && col("col").isNotNull) // clamp like the expr
         .select(col("__cell"), col("pos"),
           (col("col").cast("double") * Scale).cast("long").as("fx"))
       val sums = assigned.groupBy("__cell", "pos")
         .agg(sum("fx").as("s"), count(lit(1)).as("n"))
         .collect()
+      // per-DIMENSION mean: each component divides by its own count, so
+      // ragged/short vectors stay deterministic under any collect() order
+      // (a per-cell count picked from "whichever pos row came last" would
+      // be partition-dependent)
       val acc = Array.fill(centroids.length)(new Array[Double](dim))
-      val cnt = new Array[Long](centroids.length)
+      val cnt = Array.fill(centroids.length)(new Array[Long](dim))
       for (r <- sums) {
         val c = r.getInt(0); val p = r.getInt(1)
         acc(c)(p) = r.getLong(2).toDouble / Scale
-        cnt(c) = r.getLong(3) // same for every pos of the cell
+        cnt(c)(p) = r.getLong(3)
       }
       centroids = centroids.indices.map { c =>
-        if (cnt(c) == 0) centroids(c) // empty cell keeps its centroid
-        else normalized(acc(c).map(_ / cnt(c)), dim)
+        if (cnt(c).forall(_ == 0)) centroids(c) // empty cell keeps its centroid
+        else normalized(
+          Array.tabulate(dim)(p => if (cnt(c)(p) == 0) 0.0 else acc(c)(p) / cnt(c)(p)), dim)
       }.toArray
       it += 1
     }
@@ -234,13 +244,23 @@ object Similarity {
     * query: cell filter -> cosine project -> TakeOrdered(k). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
-              dim: Int = 64, iters: Int = 4): DataFrame = {
-    val centroids = trainIvf(corpus, idCol, vecCol, nCells, dim, iters)
+              dim: Int = 64, iters: Int = 4): DataFrame =
+    ivfTopKWith(corpus, idCol, vecCol, query, k,
+      trainIvf(corpus, idCol, vecCol, nCells, dim, iters), nProbe, dim)
+
+  /** [[ivfTopK]] against PRE-TRAINED centroids — the multi-query shape:
+    * train once (on a sample at scale), persist/bucket the assigned
+    * corpus once, probe per query. The convenience overload above trains
+    * per call, which re-scans the corpus ~iters+2 times — fine for one
+    * query, wasteful for a query stream. */
+  def ivfTopKWith(corpus: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Float], k: Int, centroids: Array[Array[Double]],
+                  nProbe: Int, dim: Int): DataFrame = {
     val bucketed = corpus.withColumn("__cell", nearestCell(col(vecCol), centroids, dim))
     // query-side cell ranking on the driver, same math as the expression
     val qd = query.map(_.toDouble).toArray
     val probes = centroids.indices
-      .map(c => (c, dotArr(qd, centroids(c), dim)))
+      .map(c => (c, dotArr(qd, centroids(c))))
       .sortBy { case (c, d) => (-d, c) }
       .take(nProbe).map(_._1)
     val qArr = array(query.map(v => lit(v.toDouble)): _*)
@@ -250,10 +270,11 @@ object Similarity {
       .limit(k)
   }
 
-  private def dotArr(a: Array[Double], b: Array[Double], dim: Int): Double = {
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length) // clamp like the row-side expr
     var s = 0.0
     var i = 0
-    while (i < dim) { s += a(i) * b(i); i += 1 }
+    while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
 

@@ -184,6 +184,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1.length == c7.length &&
       c1.zip(c7).forall { case (a, b) => a.sameElements(b) },
       "centroids must be bit-identical across partitionings")
+    // pre-trained overload gives the same result as the convenience path
+    val viaPre = Similarity.ivfTopKWith(corpus, "vec_id", "embedding", query, 10,
+      c1, nProbe = 2, dim = dim).collect().map(_.getLong(0)).toSet
+    assert(viaPre == exact)
+  }
+
+  test("IVF edge cases: string ids, ragged/double vectors, short query — deterministic, no crash") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    // string ids (a long cast would null them all out and de-randomize the
+    // seed hash), one RAGGED short vector, double-typed elements
+    val rows = (0 until 60).map { i =>
+      val n = if (i == 13) dim - 3 else dim // ragged row
+      (s"doc-$i", Array.fill(n)(rnd.nextGaussian()))
+    }
+    val corpus = rows.toDF("doc_id", "embedding")
+    val c1 = Similarity.trainIvf(corpus.repartition(1), "doc_id", "embedding", 4, dim)
+    val c5 = Similarity.trainIvf(corpus.repartition(5), "doc_id", "embedding", 4, dim)
+    assert(c1.zip(c5).forall { case (a, b) => a.sameElements(b) },
+      "string-id + ragged corpus must still train partition-invariant centroids")
+    // a query SHORTER than dim must clamp, not crash (row side clamps too)
+    val short = Seq.fill(dim - 2)(0.5f)
+    val got = Similarity.ivfTopKWith(corpus, "doc_id", "embedding", short, 3,
+      c1, nProbe = 4, dim = dim).collect()
+    assert(got.length == 3)
+    // vectors LONGER than dim must truncate, not crash the trainer
+    val long = (0 until 20).map(i => (i.toLong, Array.fill(dim + 4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cl = Similarity.trainIvf(long, "vec_id", "embedding", 2, dim)
+    assert(cl.forall(_.length == dim))
   }
 
   test("text stats: token counts, langid, quality, fingerprint stability") {

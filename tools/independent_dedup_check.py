@@ -398,6 +398,65 @@ def check_ann(sf, check):
            (429, 0.1498), (419, 0.0982), (361, 0.0582), (57, 0.0326),
            (212, -0.1097)])
 
+    # ---- ann_ivf_topk: from-spec replication of the deterministic IVF --
+    # trainIvf + ivfTopKWith in pure Python: seeds = nCells smallest
+    # xxhash64(id); assignment = argmax sequential-double dot vs normalized
+    # centroids; update = per-dim FIXED-POINT means (trunc(v * 2^20) summed
+    # as ints — the partition-invariance trick); 4 iterations; probe the 8
+    # best cells; exact cosine rank inside.
+    n_cells, n_probe, iters, scale = 16, 8, 4, 1 << 20
+    import math as _math
+
+    def _normalized(v):
+        out = [float(x) for x in v[:dim]] + [0.0] * max(0, dim - len(v))
+        s = 0.0
+        for x in out:
+            s += x * x
+        n = _math.sqrt(s)
+        return [x / n for x in out] if n > 0 else out
+
+    def _assign(v, cents):
+        best, best_d = 0, float('-inf')
+        for c, cent in enumerate(cents):
+            acc = 0.0
+            for i in range(min(len(v), dim)):
+                acc += float(v[i]) * cent[i]
+            if acc > best_d:
+                best_d, best = acc, c
+        return best
+
+    seed_ids = sorted(corpus, key=lambda t: (xxh64_long(t[0]), str(t[0])))[:n_cells]
+    cents = [_normalized(v) for _, v in seed_ids]
+    for _ in range(iters):
+        sums = [[0] * dim for _ in range(len(cents))]
+        cnts = [[0] * dim for _ in range(len(cents))]
+        for _, v in corpus:
+            c = _assign(v, cents)
+            for p2 in range(min(len(v), dim)):
+                sums[c][p2] += int(float(v[p2]) * scale)  # trunc toward zero
+                cnts[c][p2] += 1
+        nxt = []
+        for c in range(len(cents)):
+            if all(x == 0 for x in cnts[c]):
+                nxt.append(cents[c])
+            else:
+                mean = [((float(sums[c][p2]) / scale) / cnts[c][p2])
+                        if cnts[c][p2] > 0 else 0.0 for p2 in range(dim)]
+                nxt.append(_normalized(mean))
+        cents = nxt
+    qd = [float(x) for x in q]
+    ranked = sorted(((c, sum(qd[i] * cents[c][i] for i in range(min(len(qd), dim))))
+                     for c in range(len(cents))), key=lambda t: (-t[1], t[0]))
+    probe_cells = {c for c, _ in ranked[:n_probe]}
+    ivf_cands = [(i, _cosine(v, q)) for i, v in corpus
+                 if _assign(v, cents) in probe_cells]
+    ivf = [(i, _spark_round4(c))
+           for i, c in sorted(ivf_cands, key=lambda t: (-t[1], t[0]))[:10]]
+    check("ann_ivf_topk pipeline replication", ivf,
+          [(365, 0.37), (334, 0.3627), (387, 0.3311), (423, 0.2969),
+           (73, 0.2954), (7, 0.2928), (190, 0.2818), (464, 0.2766),
+           (388, 0.2763), (483, 0.2567)])
+
 
 if __name__ == "__main__":
     main()

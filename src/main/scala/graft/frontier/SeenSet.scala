@@ -146,11 +146,22 @@ object SeenSet {
   }
 
   /** Deterministic per-url reducer shared with the oracle: priority DESC,
-    * retries DESC, discoveredEpoch ASC (total tie-breaks: replay-exact). */
-  def reduceCandidates(a: Candidate, b: Candidate): Candidate =
-    if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
-    else if (a.retries != b.retries) { if (a.retries > b.retries) a else b }
-    else if (a.discoveredEpoch <= b.discoveredEpoch) a else b
+    * retries DESC, discoveredEpoch ASC (total tie-breaks: replay-exact).
+    * The merged candidate KEEPS THE MAX RETRIES of the pair regardless of
+    * which row wins the ordering: a fetch-miss retry that gets merged with
+    * a higher-priority retries=0 rediscovery of the same url must not lose
+    * its retry ticket — the merged row would be seen-filtered and the url
+    * silently never re-fetched (round-4 review finding; the retry budget
+    * accounting stays correct because the preserved count keeps
+    * incrementing from where it was). */
+  def reduceCandidates(a: Candidate, b: Candidate): Candidate = {
+    val winner =
+      if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
+      else if (a.retries != b.retries) { if (a.retries > b.retries) a else b }
+      else if (a.discoveredEpoch <= b.discoveredEpoch) a else b
+    val r = math.max(a.retries, b.retries)
+    if (winner.retries == r) winner else winner.copy(retries = r)
+  }
 
   /** FUSED in-batch URL dedup + bloom prefilter + partition-pruned exact
     * anti-join: since the url-dedup key and the bloom bucket are both

@@ -94,20 +94,18 @@ object Multimodal {
     * never materialized whole (VERDICT r3 #4: `readAllBytes()` put a
     * 2-hour 44.1 kHz stereo clip ~1.2 GB on-heap PER ROW). `maxBytes`
     * bounds total decoded bytes examined: features beyond the cap come
-    * from the sub-cap prefix (duration stays true — it derives from the
-    * container's declared frame count, not from bytes read). Streams that
-    * do not declare a frame length fall back to a capped buffered read. */
+    * from the sub-cap prefix (duration stays true — from the declared
+    * frame count). A TRUNCATED container (header promises more frames
+    * than the payload delivers — a partial crawl download) is detected
+    * when the stream ends early and re-decoded against the ACTUAL frame
+    * count, so windows stay exact over the real audio and duration
+    * reports delivered — not phantom — frames (pre-r4 behavior). Streams
+    * that declare no frame length fall back to a capped buffered read. */
   def decodeAudio(bytes: Array[Byte], maxBytes: Long = 256L << 20): Option[AudioInfo] =
     if (bytes == null || bytes.isEmpty) None
     else
       try {
-        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-        val fmt = in.getFormat
-        // normalize to 16-bit signed PCM so the sample loop has one shape
-        val pcm =
-          if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16) in
-          else AudioSystem.getAudioInputStream(
-            new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), in)
+        val pcm = openPcm(bytes)
         val f = pcm.getFormat
         val ch = f.getChannels
         val frameSize = f.getFrameSize // = 2 * channels for 16-bit
@@ -115,58 +113,85 @@ object Multimodal {
           return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
         val declared = pcm.getFrameLength // container frame count; may be -1
         val capFrames = math.max(1L, maxBytes / frameSize)
+        if (declared < 0) {
+          // no declared length: capped buffered read (rare path), then
+          // frame count from what arrived
+          val data = pcm.readNBytes(math.min(maxBytes, (Int.MaxValue - 8).toLong).toInt)
+          val n = data.length / frameSize
+          if (n == 0)
+            return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
+          return Some(rmsWindows(data, n, n, f))
+        }
         // window geometry needs the processed frame count up front
-        val (nFrames, totalFrames) =
-          if (declared >= 0) (math.min(declared, capFrames), declared)
-          else {
-            // no declared length: capped buffered read (rare path), then
-            // frame count from what arrived
-            val data = pcm.readNBytes(math.min(maxBytes, (Int.MaxValue - 8).toLong).toInt)
-            val n = data.length / frameSize
-            if (n == 0)
-              return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
-            return Some(rmsWindows(data, n, n, f))
-          }
+        val nFrames = math.min(declared, capFrames)
         if (nFrames == 0)
           return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
-        // streamed window loop: one chunk on-heap at a time
-        val chunkFrames = math.max(1, (64 << 10) / frameSize)
-        val chunk = new Array[Byte](chunkFrames * frameSize)
-        val sumSq = new Array[Double](16)
-        val cnt = new Array[Long](16)
-        val big = f.isBigEndian
-        var fr = 0L
-        var eof = false
-        while (fr < nFrames && !eof) {
-          val want = (math.min(chunkFrames.toLong, nFrames - fr) * frameSize).toInt
-          val got = readFully(pcm, chunk, want)
-          val gotFrames = got / frameSize
-          if (gotFrames == 0) eof = true
-          var k = 0
-          while (k < gotFrames) {
-            val w = ((fr + k) * 16L / nFrames).toInt
-            var mix = 0.0
-            var c = 0
-            while (c < ch) {
-              val o = k * frameSize + c * 2
-              val s =
-                if (big) ((chunk(o) << 8) | (chunk(o + 1) & 0xff)).toShort
-                else ((chunk(o + 1) << 8) | (chunk(o) & 0xff)).toShort
-              mix += s / 32768.0
-              c += 1
-            }
-            mix /= ch
-            sumSq(w) += mix * mix
-            cnt(w) += 1
-            k += 1
-          }
-          fr += gotFrames
+        val (feats, framesRead) = streamWindows(pcm, nFrames, f)
+        if (framesRead < nFrames) {
+          // truncated payload: geometry was wrong (trailing windows empty,
+          // real audio squeezed into the early ones) — one extra decode
+          // against the ACTUAL count, only for corrupt inputs
+          if (framesRead == 0)
+            return Some(AudioInfo(f.getSampleRate.toInt, ch, 0L, new Array[Float](16)))
+          val (feats2, _) = streamWindows(openPcm(bytes), framesRead, f)
+          val durMs = math.round(framesRead * 1000.0 / f.getSampleRate)
+          return Some(AudioInfo(f.getSampleRate.toInt, ch, durMs, feats2))
         }
-        val feats = Array.tabulate(16)(w =>
-          if (cnt(w) == 0) 0.0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
-        val durMs = math.round(totalFrames * 1000.0 / f.getSampleRate)
+        val durMs = math.round(declared * 1000.0 / f.getSampleRate)
         Some(AudioInfo(f.getSampleRate.toInt, ch, durMs, feats))
       } catch { case _: Exception => None }
+
+  /** Open bytes as a 16-bit signed PCM stream (one shape for the loop). */
+  private def openPcm(bytes: Array[Byte]): AudioInputStream = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16) in
+    else AudioSystem.getAudioInputStream(
+      new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), in)
+  }
+
+  /** Streamed 16-window RMS pass over up to nFrames; 64 KiB chunks.
+    * Returns (features, frames actually read — fewer only at EOF). */
+  private def streamWindows(pcm: AudioInputStream, nFrames: Long,
+                            f: AudioFormat): (Array[Float], Long) = {
+    val ch = f.getChannels
+    val frameSize = f.getFrameSize
+    val chunkFrames = math.max(1, (64 << 10) / frameSize)
+    val chunk = new Array[Byte](chunkFrames * frameSize)
+    val sumSq = new Array[Double](16)
+    val cnt = new Array[Long](16)
+    val big = f.isBigEndian
+    var fr = 0L
+    var eof = false
+    while (fr < nFrames && !eof) {
+      val want = (math.min(chunkFrames.toLong, nFrames - fr) * frameSize).toInt
+      val got = readFully(pcm, chunk, want)
+      val gotFrames = got / frameSize
+      if (gotFrames == 0) eof = true
+      var k = 0
+      while (k < gotFrames) {
+        val w = ((fr + k) * 16L / nFrames).toInt
+        var mix = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = k * frameSize + c * 2
+          val s =
+            if (big) ((chunk(o) << 8) | (chunk(o + 1) & 0xff)).toShort
+            else ((chunk(o + 1) << 8) | (chunk(o) & 0xff)).toShort
+          mix += s / 32768.0
+          c += 1
+        }
+        mix /= ch
+        sumSq(w) += mix * mix
+        cnt(w) += 1
+        k += 1
+      }
+      fr += gotFrames
+    }
+    val feats = Array.tabulate(16)(w =>
+      if (cnt(w) == 0) 0.0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
+    (feats, fr)
+  }
 
   /** Read exactly `want` bytes unless EOF arrives first; returns bytes read. */
   private def readFully(in: AudioInputStream, buf: Array[Byte], want: Int): Int = {

@@ -61,12 +61,17 @@ object StreamIngest {
   /** Per-host gate state: urls awaiting their politeness slot (FIFO). */
   final case class HostGateState(pending: Vector[String])
   /** One row per url event. status: "served" (passed the gate this batch),
-    * "deferred" (entered the pending queue — will be served in a later
-    * batch), "overflow" (pending queue full — route back to the batch
-    * frontier), "expired" (host idle past the event-time timeout; flushed
-    * so nothing vanishes silently). A url deferred in batch N appears again
-    * as served/overflow/expired later — the `served` rows ARE the gated
-    * feed; the rest are routing signals. */
+    * "deferred" (entered the pending queue — served when the host NEXT
+    * RECEIVES INPUT, since flatMapGroupsWithState only re-invokes a key on
+    * new data or a fired timeout; a host that bursts and goes idle drains
+    * via the event-time expiry instead), "overflow" (pending queue full —
+    * route back to the batch frontier), "expired" (host idle past the
+    * event-time timeout; its pending flushes so nothing vanishes silently
+    * — CALLERS MUST RE-ROUTE expired rows to the batch frontier, they are
+    * not served). The `served` rows ARE the gated feed; deferred/overflow/
+    * expired are routing signals. Note the event-time timeout itself needs
+    * watermark movement, i.e. some stream traffic; on a fully quiet stream
+    * pending state waits in the store until traffic resumes. */
   final case class HostGateRow(host: String, url: String, status: String)
 
   /** Custom streaming state via flatMapGroupsWithState: a per-host

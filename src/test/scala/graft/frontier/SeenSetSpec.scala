@@ -52,6 +52,30 @@ class SeenSetSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retry merged with a higher-priority rediscovery keeps its ticket (no silent page loss)") {
+    import spark.implicits._
+    val cfg = SeenSet.Config(numBuckets = 4, expectedPerBucket = 1 << 12)
+    val u = "https://host1.example/lost/page"
+    val seen = spark.createDataset(Seq(u))
+      .map(x => (x, SeenSet.bucketOfUrl(x, cfg.numBuckets))).toDF("url", "bucket")
+    val blooms = SeenSet.buildBlooms(spark, spark.createDataset(Seq(u)), cfg)
+    // the hazard pair: a fetch-miss retry (low priority) + a fresh
+    // rediscovery (high priority) of the SAME seen url in one frontier —
+    // the reduce picks the high-priority row; without retry preservation
+    // the merged retries=0 candidate is seen-filtered and the url is
+    // never re-fetched
+    val cands = spark.createDataset(Seq(
+      Candidate(u, "host1.example", 0.2, 0, 1), // the retry
+      Candidate(u, "host1.example", 0.9, 1, 0))) // the rediscovery
+    val (kept, newRetried) = SeenSet.dedupAndFilterNew(spark, cands, seen, blooms, cfg)
+    val out = kept.collect()
+    assert(out.length == 1 && out(0).url == u,
+      "the merged candidate must survive the seen filter")
+    assert(out(0).retries == 1 && out(0).priority == 0.9,
+      s"winner keeps max priority AND the retry ticket: ${out(0)}")
+    assert(newRetried.collect().isEmpty, "already-seen url must not re-register")
+  }
+
   test("delta blooms are small, sized to actual inserts") {
     import spark.implicits._
     val cfg = SeenSet.Config(numBuckets = 4, expectedPerBucket = 1 << 20)

@@ -112,7 +112,8 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (e.priority != c.priority) { if (e.priority > c.priority) e else c }
           else if (e.retries != c.retries) { if (e.retries > c.retries) e else c }
           else if (e.discoveredEpoch <= c.discoveredEpoch) e else c
-        frontier += c.url -> keep
+        // same retry-ticket preservation as SeenSet.reduceCandidates
+        frontier += c.url -> keep.copy(retries = math.max(e.retries, c.retries))
       case None => frontier += c.url -> c
     }
     for ((u, p) <- seedsLocal; cu <- PyUrl.canonicalize(u))

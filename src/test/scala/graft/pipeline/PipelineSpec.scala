@@ -367,6 +367,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.features.exists(_ > 0f) && capped.features.toSeq != got.features.toSeq)
   }
 
+  test("truncated audio container: features cover the REAL audio, duration = delivered frames") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val sr = 8000
+    val n = sr * 2 // 2s declared
+    def pcmOf(frames: Int): Array[Byte] = {
+      val d = new Array[Byte](frames * 2)
+      var k = 0
+      while (k < frames) {
+        val s = (20000 * math.sin(2 * math.Pi * 440.0 * k / sr) *
+                 (0.3 + 0.7 * k.toDouble / n)).toInt.toShort // rising envelope
+        d(2 * k) = (s & 0xff).toByte; d(2 * k + 1) = ((s >> 8) & 0xff).toByte
+        k += 1
+      }
+      d
+    }
+    def wavOf(frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(pcmOf(frames)), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val full = wavOf(n)
+    // truncate the PAYLOAD at half — the header still declares 2s
+    val half = n / 2
+    val headerLen = full.length - n * 2
+    val truncated = java.util.Arrays.copyOf(full, headerLen + half * 2)
+    val got = Multimodal.decodeAudio(truncated).get
+    // reference: a COMPLETE clip holding exactly the delivered audio
+    val ref = Multimodal.decodeAudio(wavOf(half)).get
+    assert(got.durationMs == ref.durationMs,
+      s"duration must report delivered frames: ${got.durationMs} vs ${ref.durationMs}")
+    assert(got.features.toSeq == ref.features.toSeq,
+      "features must cover the real audio exactly (no empty trailing windows)")
+    assert(got.features.forall(_ > 0f), "all 16 windows must hold real signal")
+  }
+
   // ---- LSH hot-bucket bounding (VERDICT r2 #3) -------------------------------
 
   test("simhash hot-bucket sub-banding loses no recall: all-hot == all-cold pairs") {

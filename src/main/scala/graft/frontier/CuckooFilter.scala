@@ -48,6 +48,12 @@ final class CuckooFilter private (
 
   def size: Long = count
 
+  /** Entries parked by overfull inserts — every mightContain/delete scans
+    * this linearly, so a growing stash is the operational signal that the
+    * filter was sized below its actual load (SeenSet warns past
+    * [[SeenSet.StashWarnThreshold]]). */
+  def stashSize: Int = stash.length
+
   private def indexMask: Int = numBuckets - 1
 
   @inline private def altIndex(i: Int, fp: Short): Int =

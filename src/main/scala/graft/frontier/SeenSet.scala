@@ -64,6 +64,8 @@ object SeenSet {
     def put(url: String): Unit = cf.put(url)
     def mightContain(url: String): Boolean = cf.mightContain(url)
     def serialized: Array[Byte] = cf.serialized
+    def stashSize: Int = cf.stashSize
+    def underlying: CuckooFilter = cf
   }
 
   def createFilter(cfg: Config, expected: Long): UrlFilter = cfg.filterKind match {
@@ -78,16 +80,38 @@ object SeenSet {
     * first so persisted cuckoo segment bytes are a pure function of the
     * url SET (replay/snapshot comparability). */
   private def fillFilter(cfg: Config, expected: Long, it: Iterator[String]): UrlFilter = {
-    val f = createFilter(cfg, expected)
     cfg.filterKind match {
-      case Bloom => it.foreach(f.put)
+      case Bloom =>
+        val f = createFilter(cfg, expected)
+        it.foreach(f.put)
+        f
       case Cuckoo =>
         val a = it.toArray
         java.util.Arrays.sort(a.asInstanceOf[Array[Object]])
+        // size from the ACTUAL count when it exceeds the configured
+        // expectation: a cuckoo past ~0.955 load parks evictees in the
+        // stash, degrading every probe from O(1) to O(stash) for the rest
+        // of the epoch (r5 advisory) — blooms degrade gracefully (fpp
+        // drift) but cuckoos must be capacity-sized
+        val f = createFilter(cfg, math.max(expected, a.length.toLong))
         a.foreach(f.put)
+        f match {
+          case c: CuckooUrlFilter if c.stashSize > StashWarnThreshold =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"cuckoo filter stash at ${c.stashSize} entries " +
+              s"(> $StashWarnThreshold) for ${a.length} urls — bucket oversized " +
+              "vs expectedPerBucket; probes degrade to O(stash). Raise " +
+              "numBuckets or expectedPerBucket.")
+          case _ => ()
+        }
+        f
     }
-    f
   }
+
+  /** Stash depth past which an overfull cuckoo bucket is surfaced
+    * operationally (each stash entry is scanned linearly by every
+    * mightContain/delete for the rest of the filter's life). */
+  val StashWarnThreshold = 64
 
   /** Payload-sniffing deserialize: segments written under either filter
     * kind coexist in one LSM chain (a crawl can flip kinds mid-life; the
@@ -145,22 +169,58 @@ object SeenSet {
       }
   }
 
-  /** Deterministic per-url reducer shared with the oracle: priority DESC,
-    * retries DESC, discoveredEpoch ASC (total tie-breaks: replay-exact).
-    * The merged candidate KEEPS THE MAX RETRIES of the pair regardless of
-    * which row wins the ordering: a fetch-miss retry that gets merged with
-    * a higher-priority retries=0 rediscovery of the same url must not lose
-    * its retry ticket — the merged row would be seen-filtered and the url
-    * silently never re-fetched (round-4 review finding; the retry budget
-    * accounting stays correct because the preserved count keeps
-    * incrementing from where it was). */
+  /** Pure per-url ordering shared with the oracle: priority DESC, retries
+    * DESC, discoveredEpoch ASC. Selection under this order is
+    * order-independent for a same-url group: a full tie on all three keys
+    * implies identical rows (url is the group key and host is a function
+    * of url), so folding any permutation picks the same winner. */
+  def pickWinner(a: Candidate, b: Candidate): Candidate =
+    if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
+    else if (a.retries != b.retries) { if (a.retries > b.retries) a else b }
+    else if (a.discoveredEpoch <= b.discoveredEpoch) a else b
+
+  /** Deterministic merge of exactly TWO candidates: [[pickWinner]] plus the
+    * retry ticket (max retries of the pair) — a fetch-miss retry merged
+    * with a higher-priority retries=0 rediscovery must not lose its ticket,
+    * or the merged row would be seen-filtered and the url silently never
+    * re-fetched (round-4 review finding). For groups of 3+ rows do NOT
+    * fold this pairwise: copying the max onto the winner at each step
+    * feeds the inflated count into later retries-DESC tie-breaks, making
+    * the merged discoveredEpoch depend on iterator order (round-5 advisory
+    * counterexample, pinned in SeenSetSpec) — use [[mergeByUrl]], which
+    * compares on original per-row retries and applies the ticket once
+    * after the fold. */
   def reduceCandidates(a: Candidate, b: Candidate): Candidate = {
-    val winner =
-      if (a.priority != b.priority) { if (a.priority > b.priority) a else b }
-      else if (a.retries != b.retries) { if (a.retries > b.retries) a else b }
-      else if (a.discoveredEpoch <= b.discoveredEpoch) a else b
+    val winner = pickWinner(a, b)
     val r = math.max(a.retries, b.retries)
     if (winner.retries == r) winner else winner.copy(retries = r)
+  }
+
+  /** Order-independent per-url merge of a candidate batch: per url, the
+    * [[pickWinner]] winner over ORIGINAL rows with max(original retries)
+    * applied once at the end. Any permutation of the input yields the same
+    * merged set (SeenSetSpec pins the 3-duplicate counterexample where the
+    * per-step reduceCandidates fold diverges). */
+  private[frontier] def mergeByUrl(cs: Iterator[Candidate]): java.util.Iterator[Candidate] = {
+    final class Acc(var winner: Candidate, var maxRetries: Int)
+    val best = new java.util.HashMap[String, Acc]()
+    cs.foreach { c =>
+      val acc = best.get(c.url)
+      if (acc == null) best.put(c.url, new Acc(c, c.retries))
+      else {
+        acc.winner = pickWinner(acc.winner, c)
+        if (c.retries > acc.maxRetries) acc.maxRetries = c.retries
+      }
+    }
+    val it = best.values().iterator()
+    new java.util.Iterator[Candidate] {
+      def hasNext = it.hasNext
+      def next() = {
+        val a = it.next()
+        if (a.winner.retries == a.maxRetries) a.winner
+        else a.winner.copy(retries = a.maxRetries)
+      }
+    }
   }
 
   /** FUSED in-batch URL dedup + bloom prefilter + partition-pruned exact
@@ -175,22 +235,20 @@ object SeenSet {
     * never-seen url would otherwise stay unseen forever and be re-crawled
     * by every future discovery). A fetch-miss retry is already seen and
     * never appears there. Returns (deduplicated schedulable candidates,
-    * provably-new retried urls). */
+    * provably-new retried urls, the internal persisted frame — the CALLER
+    * must unpersist it once the first two have materialized; leaving it to
+    * the GC-driven ContextCleaner leaks a block-manager entry per epoch
+    * between GCs, VERDICT r4 #2). */
   def dedupAndFilterNew(spark: SparkSession, candidates: Dataset[Candidate],
                         seen: DataFrame, blooms: Dataset[BucketBloom],
-                        cfg: Config): (Dataset[Candidate], Dataset[String]) = {
+                        cfg: Config): (Dataset[Candidate], Dataset[String], Dataset[_]) = {
     import spark.implicits._
     val marked: Dataset[(Candidate, Boolean)] =
       candidates.groupByKey(c => bucketOfUrl(c.url, cfg.numBuckets))
         .cogroup(blooms.groupByKey(_.bucket)) { (bucket, cs, bs) =>
-          val best = new java.util.HashMap[String, Candidate]()
-          cs.foreach { c =>
-            val prev = best.get(c.url)
-            best.put(c.url, if (prev == null) c else reduceCandidates(prev, c))
-          }
           // delta segments: maybe-seen = contained in ANY segment filter
           val fs = bs.filter(_.bytes.nonEmpty).map(b => deserializeFilter(b.bytes)).toArray
-          val it = best.values().iterator()
+          val it = mergeByUrl(cs)
           new Iterator[(Candidate, Boolean)] {
             def hasNext = it.hasNext
             def next() = {
@@ -222,7 +280,7 @@ object SeenSet {
       .unionByName(maybe.filter(_.retries > 0))
     val newRetried = definitelyNew.filter(_.retries > 0).map(_.url)
       .unionByName(survived.filter(_.retries > 0).map(_.url))
-    (kept, newRetried)
+    (kept, newRetried, cached)
   }
 
   /** The exact seen-table read restricted to the buckets that actually

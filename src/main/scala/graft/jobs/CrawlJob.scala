@@ -56,6 +56,16 @@ object CrawlJob {
   /** One-time pages-table preparation: canonicalize urls and keep exactly
     * one capture per url — max (warc_ts, xxhash64(html)) wins via max_by,
     * so re-runs and different parallelism levels pick the same capture.
+    *
+    * PROJECTION CONTRACT: the output carries exactly (url, html) — the
+    * `warc_ts`/`text`/`lang` columns of the input_hint pages schema are
+    * consumed here (warc_ts in the capture tie-break) and deliberately NOT
+    * carried: the epoch loop joins this table once per epoch purely as the
+    * fetch corpus, and every extra column would ride that join — and the
+    * block-manager persist behind it — for no reader (extraction derives
+    * text itself; lang analytics run on the source table, not the crawl
+    * state). Callers needing those columns join back on url.
+    * CrawlJobSpec pins the two-column schema.
     * The tie-break key is an 8-byte hash, NOT the body: partial (map-side)
     * aggregation keeps at most one html candidate per url per partition, so
     * shuffle bytes ~= corpus size instead of 1.33x all bytes through a
@@ -166,12 +176,16 @@ object CrawlJob {
       case Some(urls) =>
         val rc = urls.flatMap(u => PyUrl.canonicalize(u).map(c =>
           Candidate(c, PyUrl.hostOf(c), 1.0, epoch.toInt, 1))).distinct()
-        // recrawl REPLACES any frontier row for the same url: if a plain
-        // (retries=0) duplicate won the in-batch reduce on priority, the
-        // merged candidate would be seen-filtered and the recrawl request
-        // silently lost
-        frontierBase.join(rc.select("url"), Seq("url"), "left_anti").as[Candidate]
-          .unionByName(rc)
+        // recrawl rows MERGE with any existing frontier row via the fused
+        // dedup's order-independent per-url reducer (SeenSet.mergeByUrl):
+        // the merged candidate keeps max(existing.retries, 1), so it (a)
+        // bypasses the seen filter — the recrawl request cannot be lost to
+        // a higher-priority retries=0 duplicate — and (b) PRESERVES an
+        // in-flight fetch-miss retry's budget (the round-4 anti-join
+        // replacement reset retries to 1, granting a url up to one extra
+        // schedule beyond the 1+maxRetries bound — r5 advisory). A plain
+        // union suffices; no join.
+        frontierBase.unionByName(rc)
       case None => frontierBase
     }).persist(StorageLevel.MEMORY_AND_DISK)
     // frontier row count is already known exactly: the previous snapshot
@@ -189,7 +203,7 @@ object CrawlJob {
     //    bucket serves both (url-dedup key and bloom bucket are both
     //    functions of url); retried/recrawl candidates pass the gate but
     //    their provably-new subset comes back for seen registration
-    val (unseenRaw, newRetriedUrls) =
+    val (unseenRaw, newRetriedUrls, seenSetCache) =
       SeenSet.dedupAndFilterNew(spark, frontier, seen, blooms, cfg.seen)
     val unseen = unseenRaw
       .toDF().observe(obsUnseen, count(lit(1)).as("n")).as[Candidate]
@@ -451,6 +465,7 @@ object CrawlJob {
     Seq(frontier.toDF(), unseen.toDF(), gated, allowed.toDF(), scheduled.toDF(),
         scheduledSeq.toDF(), slim, nextFrontier.toDF())
       .foreach(d => d.unpersist())
+    seenSetCache.unpersist()
 
     EpochResult(epoch, scheduledCount, fetchedCount, dedupedCount, robotsBlocked,
                 retriedCount, discoveredCount, frontierSize)

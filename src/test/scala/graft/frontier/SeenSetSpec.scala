@@ -67,13 +67,42 @@ class SeenSetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cands = spark.createDataset(Seq(
       Candidate(u, "host1.example", 0.2, 0, 1), // the retry
       Candidate(u, "host1.example", 0.9, 1, 0))) // the rediscovery
-    val (kept, newRetried) = SeenSet.dedupAndFilterNew(spark, cands, seen, blooms, cfg)
+    val (kept, newRetried, _) = SeenSet.dedupAndFilterNew(spark, cands, seen, blooms, cfg)
     val out = kept.collect()
     assert(out.length == 1 && out(0).url == u,
       "the merged candidate must survive the seen filter")
     assert(out(0).retries == 1 && out(0).priority == 0.9,
       s"winner keeps max priority AND the retry ticket: ${out(0)}")
     assert(newRetried.collect().isEmpty, "already-seen url must not re-register")
+  }
+
+  test("in-batch merge is iterator-order independent (3+ duplicate fold)") {
+    // r5 advisory counterexample: A(0.2,r1,e7), B(0.9,r0,e5), C(0.9,r0,e2).
+    // A pairwise reduceCandidates fold gives e5 for order [A,B,C] (B wins
+    // priority, inherits retries=1, then beats C on the inflated retries
+    // tie-break) but e2 for [B,C,A] — the fold must compare ORIGINAL
+    // retries and apply the ticket once at the end: winner C, retries 1.
+    import scala.jdk.CollectionConverters._
+    val a = Candidate("https://h.example/x", "h.example", 0.2, 7, 1)
+    val b = Candidate("https://h.example/x", "h.example", 0.9, 5, 0)
+    val c = Candidate("https://h.example/x", "h.example", 0.9, 2, 0)
+    val expected = c.copy(retries = 1)
+    for (perm <- Seq(a, b, c).permutations) {
+      val merged = SeenSet.mergeByUrl(perm.iterator).asScala.toVector
+      assert(merged == Vector(expected),
+        s"fold over $perm gave $merged, want $expected")
+    }
+    // and end-to-end through dedupAndFilterNew (empty seen set)
+    import spark.implicits._
+    val cfg = SeenSet.Config(numBuckets = 4, expectedPerBucket = 1 << 12)
+    val emptySeen = spark.emptyDataset[(String, Int)].toDF("url", "bucket")
+    val noBlooms = spark.emptyDataset[SeenSet.BucketBloom]
+    for (perm <- Seq(a, b, c).permutations) {
+      val (kept, _, cache) = SeenSet.dedupAndFilterNew(
+        spark, spark.createDataset(perm), emptySeen, noBlooms, cfg)
+      assert(kept.collect().toVector == Vector(expected))
+      cache.unpersist()
+    }
   }
 
   test("delta blooms are small, sized to actual inserts") {

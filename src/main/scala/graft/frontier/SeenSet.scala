@@ -283,6 +283,40 @@ object SeenSet {
     (kept, newRetried, cached)
   }
 
+  /** Remove urls' fingerprints from ONE filter segment — the cuckoo DELETE
+    * path of a recrawl-with-forget policy (CrawlJob.recrawlWithDelete).
+    * `present` MUST be the subset of the delete list actually stored in
+    * the CORRESPONDING seen segment: deleting a never-inserted url can
+    * evict a colliding url's fingerprint and create a false negative,
+    * which would let that url skip the exact check and duplicate itself
+    * into the seen table (Fan et al. §3.2 — deletion is only safe for
+    * items actually inserted; the seen segment IS the record of what was
+    * inserted into this filter segment). Bloom payloads pass through
+    * byte-unchanged — a bloom cannot delete; its stale fingerprint merely
+    * routes the url to the exact anti-join, which the deleted table rows
+    * now let through, until the next major compaction rebuilds clean
+    * filters. Urls are deleted in sorted order so rewritten cuckoo bytes
+    * are deterministic. */
+  def deleteFromFilters(spark: SparkSession, filters: Dataset[BucketBloom],
+                        present: Dataset[(String, Int)]): Dataset[BucketBloom] = {
+    import spark.implicits._
+    filters.groupByKey(_.bucket).cogroup(present.groupByKey(_._2)) { (bucket, fs, ds) =>
+      val urls = ds.map(_._1).toArray
+      if (urls.isEmpty) fs
+      else {
+        java.util.Arrays.sort(urls.asInstanceOf[Array[Object]])
+        fs.map { bb =>
+          if (bb.bytes.isEmpty || !CuckooFilter.isCuckooPayload(bb.bytes)) bb
+          else {
+            val cf = CuckooFilter.deserialize(bb.bytes)
+            urls.foreach(cf.delete)
+            BucketBloom(bucket, cf.serialized)
+          }
+        }
+      }
+    }
+  }
+
   /** The exact seen-table read restricted to the buckets that actually
     * contain bloom maybe-hits. With the table stored `partitionBy("bucket")`
     * the IN-filter lands as a parquet PARTITION filter, so every other

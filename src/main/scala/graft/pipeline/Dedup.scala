@@ -253,6 +253,50 @@ object Dedup {
     coldPairs.unionByName(hotPairs)
   }
 
+  /** Diagnostic: (hot (band,bucket) groups, max group size) of the simhash
+    * band histogram at the given threshold — the SAME banding as
+    * [[simhashCandidatePairs]] (bucket = 16-bit band slice of the
+    * signature, zero-sig rows dropped like [[simhashNearDups]]). The bench
+    * records this next to the dedup timing as evidence that the hot-bucket
+    * sub-banding fired NATURALLY (non-zero hot groups), not just under
+    * forced spec thresholds. */
+  def simhashHotStats(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3,
+                      hotBucketThreshold: Int = 4096): (Long, Long) = {
+    val sigs = simhashSignatures(df, idCol, textCol).filter(col("sig") =!= 0L)
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val bandCols = (0 until nBands).map { b =>
+      shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+    }
+    val hist = sigs.select(posexplode(array(bandCols: _*)))
+      .toDF("band", "bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val r = hist.agg(
+      sum(when(col("n") > hotBucketThreshold, 1L).otherwise(0L)).as("hot"),
+      max(col("n")).as("mx")).collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Diagnostic twin of [[simhashHotStats]] for the embedding LSH banding
+    * (same per-band signature seeds as [[embeddingNearDups]]). */
+  def embeddingHotStats(df: DataFrame, idCol: String, vecCol: String,
+                        bands: Int = 8, planesPerBand: Int = 4,
+                        dim: Int = 64, seed: Long = 42L,
+                        hotBucketThreshold: Int = 4096): (Long, Long) = {
+    val bandCols = (0 until bands).map { b =>
+      Similarity.hyperplaneSignature(col(vecCol), planesPerBand, dim,
+        seed + 0x51ED2701L * (b + 1))
+    }
+    val hist = df.select(posexplode(array(bandCols: _*)))
+      .toDF("band", "bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val r = hist.agg(
+      sum(when(col("n") > hotBucketThreshold, 1L).otherwise(0L)).as("hot"),
+      max(col("n")).as("mx")).collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Embedding cosine near-dup via MULTI-BAND random-hyperplane LSH:
     * `bands` independent signatures of `planesPerBand` sign bits each; a
     * pair is a candidate if it collides in ANY band (posexplode + band
@@ -266,7 +310,8 @@ object Dedup {
                         planesPerBand: Int = 4,
                         dim: Int = 64, seed: Long = 42L,
                         hotBucketThreshold: Int = 4096,
-                        refinePlanes: Int = 8): DataFrame = {
+                        refinePlanes: Int = 8,
+                        localVerifyThreshold: Int = 64): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       // distinct planes per band: seed offset by band index
       Similarity.hyperplaneSignature(col(vecCol), planesPerBand, dim,
@@ -295,7 +340,7 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     }
-    // histogram + hot-key join + two self-join sides share one banded
+    // histogram + hot-key join + cold self-join sides share one banded
     // computation (disk-backed; freed by the context cleaner)
     val banded = bandedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hot (band,bucket) groups are refined with `refinePlanes` EXTRA
@@ -309,31 +354,138 @@ object Dedup {
     // of its OTHER colliding bands, so the end-to-end recall loss is
     // bounded by (1 - p^k) on the (rare) all-bands-hot case. Cold buckets
     // are byte-identical to the unbounded plan.
-    val hotKeys = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > hotBucketThreshold)
-      .select(col("band"), col("bucket"), lit(true).as("__hot"))
-    val marked = banded.join(hotKeys, Seq("band", "bucket"), "left")
-    val cold = marked.filter(col("__hot").isNull).select("id", "band", "bucket")
+    // THREE-TIER verify plan, picked per (band,bucket) group from the
+    // histogram (r5; the r4 two-tier plan left "warm" groups hovering just
+    // under the hot threshold on the join path, where a 4k-row group
+    // already emits ~8M pair rows through a distinct + two vector
+    // re-attach joins — ~90M shuffled pairs at the natural-fire bench):
+    //  - SPARSE (n <= localVerifyThreshold): the r2 join shape — pair
+    //    dedup on two longs, vectors re-attached to the candidate set.
+    //    Optimal when groups are small, the normal web regime.
+    //  - WARM (localVerifyThreshold < n <= hotBucketThreshold): verify
+    //    GROUP-LOCALLY — the group's vectors ride the (linear) banding
+    //    shuffle once, pairs are pure in-task compute, only survivors
+    //    (cosine >= threshold) leave the task. No pair ever shuffles.
+    //  - HOT (n > hotBucketThreshold): refine with extra hyperplane bits,
+    //    then group-local verify inside (band,bucket,refine).
+    // The Scala cosine kernel replicates Similarity.cosine's exact IEEE op
+    // order (differential-pinned in PipelineSpec), so survivors from any
+    // tier are bit-identical and the final distinct dedups across tiers.
+    // A group materializes only its ROWS (linear); pair iterators are lazy.
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > localVerifyThreshold)
+      .select(col("band"), col("bucket"), col("__n"))
+    val marked = banded.join(sizes, Seq("band", "bucket"), "left")
+    val cold = marked.filter(col("__n").isNull).select("id", "band", "bucket")
     val coldPairs = cold.toDF("id_a", "band", "bucket")
       .join(cold.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val refineSeed = seed ^ 0x6A09E667F3BCC909L
-    val hot = marked.filter(col("__hot").isNotNull).select("id", "band", "bucket")
-      .join(v, Seq("id"))
-      .withColumn("refine",
-        Similarity.hyperplaneSignature(col("v"), refinePlanes, dim, refineSeed))
-      .select("id", "band", "bucket", "refine")
-    val hotPairs = hot.toDF("id_a", "band", "bucket", "refine")
-      .join(hot.toDF("id_b", "band", "bucket", "refine"), Seq("band", "bucket", "refine"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val pairs = coldPairs.unionByName(hotPairs).distinct()
-    pairs
+      .distinct()
+    val coldVerified = coldPairs
       .join(v.toDF("id_a", "v_a"), Seq("id_a"))
       .join(v.toDF("id_b", "v_b"), Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    val refineSeed = seed ^ 0x6A09E667F3BCC909L
+    val warmRows = marked.filter(col("__n").isNotNull && col("__n") <= hotBucketThreshold)
+      .select("id", "band", "bucket")
+      .join(v, Seq("id"))
+      .select(col("id"), col("v"), col("band"), col("bucket"), lit(0L).as("refine"))
+    val hotRows = marked.filter(col("__n") > hotBucketThreshold)
+      .select("id", "band", "bucket")
+      .join(v, Seq("id"))
+      .withColumn("refine",
+        Similarity.hyperplaneSignature(col("v"), refinePlanes, dim, refineSeed))
+      .select("id", "v", "band", "bucket", "refine")
+    val localVerified = groupLocalVerify(warmRows.unionByName(hotRows), threshold)
+    coldVerified.unionByName(localVerified).distinct()
+  }
+
+  /** SQL-`<`-compatible ordering for id values (long/int/string cover the
+    * pipeline's id columns). */
+  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Int, y: Int)       => x < y
+    case (x: String, y: String) => x < y
+    case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+    case _ => String.valueOf(a) < String.valueOf(b)
+  }
+
+  /** Cosine with EXACTLY [[Similarity.cosine]]'s IEEE op order — zip_with
+    * multiplies floats in float precision, aggregate widens each product
+    * to double for the running sum, norms square in float and accumulate
+    * in double, n = sqrt(na)*sqrt(nb), 0.0 when n == 0. Differential spec
+    * pins bit-equality. normSq precomputed per row (it is per-vector). */
+  private[pipeline] def cosineNormSq(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  }
+  private[pipeline] def cosineFromDot(dot: Double, nsqA: Double, nsqB: Double): Double = {
+    val n = math.sqrt(nsqA) * math.sqrt(nsqB)
+    if (n > 0) dot / n else 0.0
+  }
+  private[pipeline] def cosineDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Verify pairs INSIDE each (band,bucket,refine) group: emit
+    * (id_a, id_b, cosine) for same-group pairs with cosine >= threshold,
+    * id_a < id_b. Input columns: (id, v, band, bucket, refine). */
+  private def groupLocalVerify(rows: DataFrame, threshold: Double): DataFrame = {
+    val spark = rows.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idType = rows.schema("id").dataType
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("cosine", DoubleType)))
+    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+    implicit val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (iId, iV, iB, iK, iR) = (0, 1, 2, 3, 4)
+    rows.groupByKey(r => r.get(iB) + "|" + r.get(iK) + "|" + r.get(iR))
+      .flatMapGroups { (_, it) =>
+        val grp = it.toArray
+        val ids = new Array[Any](grp.length)
+        val vs = new Array[Array[Float]](grp.length)
+        val nsq = new Array[Double](grp.length)
+        var i = 0
+        while (i < grp.length) {
+          ids(i) = grp(i).get(iId)
+          vs(i) = grp(i).getSeq[Float](iV).toArray
+          nsq(i) = cosineNormSq(vs(i))
+          i += 1
+        }
+        new Iterator[Row] {
+          private var a = 0
+          private var b = 1
+          private var nextRow: Row = null
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && a < grp.length - 1) {
+              // ragged pair -> zip_with would null-pad and the cosine
+              // would be null -> dropped; skip to match
+              if (vs(a).length == vs(b).length && ids(a) != ids(b)) {
+                val c = cosineFromDot(cosineDot(vs(a), vs(b)), nsq(a), nsq(b))
+                if (c >= threshold) {
+                  val (x, y) = if (idLt(ids(a), ids(b))) (ids(a), ids(b)) else (ids(b), ids(a))
+                  nextRow = Row(x, y, c)
+                }
+              }
+              b += 1
+              if (b >= grp.length) { a += 1; b = a + 1 }
+            }
+          }
+          advance()
+          def hasNext: Boolean = nextRow != null
+          def next(): Row = { val r = nextRow; advance(); r }
+        }
+      }.toDF("id_a", "id_b", "cosine")
   }
 }

@@ -68,10 +68,16 @@ object StreamIngest {
     * route back to the batch frontier), "expired" (host idle past the
     * event-time timeout; its pending flushes so nothing vanishes silently
     * — CALLERS MUST RE-ROUTE expired rows to the batch frontier, they are
-    * not served). The `served` rows ARE the gated feed; deferred/overflow/
-    * expired are routing signals. Note the event-time timeout itself needs
+    * not served), "untimed" (url has NO event time, so it cannot be
+    * event-time gated at all — split off BEFORE the stateful gate and
+    * emitted as its own routing signal; route to the batch scheduler.
+    * Before r5 these rows were silently filtered with no signal — r5
+    * advisory). The `served` rows ARE the gated feed; every other status
+    * is a routing signal. Note the event-time timeout itself needs
     * watermark movement, i.e. some stream traffic; on a fully quiet stream
-    * pending state waits in the store until traffic resumes. */
+    * pending state waits in the store until traffic resumes (recovery
+    * playbook in ARCHITECTURE.md §streaming, pinned by StreamIngestSpec's
+    * quiet-stream case). */
   final case class HostGateRow(host: String, url: String, status: String)
 
   /** Custom streaming state via flatMapGroupsWithState: a per-host
@@ -97,19 +103,26 @@ object StreamIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val idleMs = idleTimeoutMs
-    val keyed = pages
+    val canon = pages
       .withColumn("url", url_canonicalize(col("url")))
-      // warc_ts drives the watermark AND the idle-timeout arithmetic below
-      // (maxTs over the batch): a null event time would NPE the state
-      // function and kill the query. Rows without a timestamp can't be
-      // event-time gated — route them through the batch scheduler instead.
-      .filter(col("url").isNotNull && col("warc_ts").isNotNull)
+      .filter(col("url").isNotNull)
+    // warc_ts drives the watermark AND the idle-timeout arithmetic below
+    // (maxTs over the batch): a null event time would NPE the state
+    // function and kill the query. Rows without a timestamp can't be
+    // event-time gated — split them off BEFORE the gate as their own
+    // 'untimed' status so the caller can route them to the batch
+    // scheduler; a bare filter made them vanish with no signal (r5
+    // advisory).
+    val untimed = canon.filter(col("warc_ts").isNull)
+      .select(url_host(col("url")).as("host"), col("url"), lit("untimed").as("status"))
+    val keyed = canon
+      .filter(col("warc_ts").isNotNull)
       .withColumn("host", url_host(col("url")))
       .withWatermark("warc_ts", watermarkDelay)
       .select(col("host"), col("url"), col("warc_ts"))
       .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-    keyed.flatMapGroupsWithState(
+    val gated = keyed.flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (host: String, rows: Iterator[(String, String, java.sql.Timestamp)],
        state: GroupState[HostGateState]) =>
@@ -134,5 +147,6 @@ object StreamIngest {
             overflow.iterator.map { case (u, _) => HostGateRow(host, u, "overflow") }
         }
     }.toDF()
+    gated.unionByName(untimed)
   }
 }

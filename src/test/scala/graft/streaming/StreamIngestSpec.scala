@@ -132,6 +132,78 @@ class StreamIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("per-host gate: urls without an event time surface as 'untimed' routing rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Array[Byte])]
+    val pages = input.toDF().toDF("url", "warc_ts", "html")
+    val out = StreamIngest.hostBudget(spark, pages, perBatchBudget = 2)
+    val q = out.writeStream.format("memory").queryName("host_gate_ut")
+      .outputMode("append").start()
+    try {
+      val html = Array.empty[Byte]
+      val t = new Timestamp(1700000000000L)
+      input.addData(
+        ("https://u.example/1.html", t, html),
+        ("https://u.example/2.html", null, html), // no event time
+        ("https://u.example/3.html", null, html))
+      q.processAllAvailable()
+      val by = spark.sql("SELECT url, status FROM host_gate_ut").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      assert(by("served") == Set("https://u.example/1.html"))
+      // r5 advisory: these previously vanished with no routing signal —
+      // the caller routes 'untimed' to the batch scheduler
+      assert(by.get("untimed").contains(
+        Set("https://u.example/2.html", "https://u.example/3.html")), s"got $by")
+    } finally q.stop()
+  }
+
+  test("quiet-stream recovery: pending waits out the quiet spell, drains when traffic resumes") {
+    // the documented caveat (StreamIngest scaladoc + ARCHITECTURE.md): a
+    // deferred url drains only on new input for its host or a fired
+    // event-time timeout, and the timeout needs watermark movement — on a
+    // FULLY quiet stream pending sits in the state store indefinitely.
+    // This pins the recovery story: nothing is lost, and EITHER kind of
+    // resumed traffic frees the rows (same-host input -> served FIFO;
+    // other-host input -> watermark moves -> pending flushes as expired
+    // for the caller to re-route).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Array[Byte])]
+    val pages = input.toDF().toDF("url", "warc_ts", "html")
+    val out = StreamIngest.hostBudget(spark, pages, perBatchBudget = 1,
+      idleTimeoutMs = 1000L, watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("host_gate_quiet")
+      .outputMode("append").start()
+    def rows() = spark.sql("SELECT url, status FROM host_gate_quiet").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    try {
+      val html = Array.empty[Byte]
+      val t0 = 1700000000000L
+      input.addData(
+        ("https://q.example/1.html", new Timestamp(t0), html),
+        ("https://q.example/2.html", new Timestamp(t0), html))
+      q.processAllAvailable()
+      // quiet spell: empty micro-batches change NOTHING — no input, no
+      // watermark movement, the pending url neither serves nor expires
+      // (and is not lost)
+      val afterBurst = rows()
+      assert(afterBurst.toSet == Set(
+        ("https://q.example/1.html", "served"),
+        ("https://q.example/2.html", "deferred")))
+      // traffic resumes ON THE SAME HOST -> pending drains FIFO before
+      // the new url
+      input.addData(("https://q.example/3.html", new Timestamp(t0 + 2000), html))
+      q.processAllAvailable()
+      val drained = rows().diff(afterBurst)
+      assert(drained.toSet == Set(
+        ("https://q.example/2.html", "served"),
+        ("https://q.example/3.html", "deferred")),
+        s"resumed same-host traffic must drain the queue FIFO: ${drained.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("per-host gate: idle host state expires via event-time timeout, pending flushed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

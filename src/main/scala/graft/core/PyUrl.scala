@@ -52,8 +52,15 @@ object PyUrl {
     var query = ""
     var fragment = ""
     val ci = url.indexOf(':')
-    if (ci > 0 && url.charAt(0) < 128 && url.charAt(0).isLetter &&
-        url.substring(0, ci).forall(isSchemeChar)) {
+    // index loop, not substring(0,ci).forall: urlsplit runs once per
+    // rewritten url and the closure + substring showed at ~4% of the
+    // 1-core extraction profile (r5 JFR)
+    if (ci > 0 && url.charAt(0) < 128 && url.charAt(0).isLetter && {
+          var k = 0
+          var ok = true
+          while (ok && k < ci) { ok = isSchemeChar(url.charAt(k)); k += 1 }
+          ok
+        }) {
       scheme = url.substring(0, ci).toLowerCase
       url = url.substring(ci + 1)
     }

@@ -227,6 +227,25 @@ class PropertySpec extends AnyFunSuite {
     assert(out1.toString == ".a{background:url(page_files/a.png)}")
   }
 
+  test("cssUrlFindAll == regex findall (url\\(([^\\)]+)\\)) on adversarial css") {
+    // the hand scanner replaced the BnM regex on the extraction hot path
+    // (r5); exact emulation incl. empty-group url(), unclosed parens,
+    // overlapping/nested candidates, and find()-resume semantics
+    val tokens = Gen.oneOf("url(", ")", "(", "u", "url", "a", "url()",
+      "url(x)", " ", "url(a b)", "uurl(", "'", "x)y", "url(()")
+    val gen = Gen.listOf(tokens).map(_.mkString)
+    forAllN(gen, 3000) { css =>
+      val viaRegex = {
+        val m = graft.core.Rewriter.rxStyleSheetUrl.matcher(css)
+        val b = Vector.newBuilder[String]
+        while (m.find()) b += m.group(1)
+        b.result()
+      }
+      val viaScan = graft.core.Rewriter.cssUrlFindAll(css)
+      assert(viaScan == viaRegex, s"css=<$css> scan=$viaScan regex=$viaRegex")
+    }
+  }
+
   test("canonicalize is idempotent") {
     forAll(urlGen) { u =>
       PyUrl.canonicalize(u) match {

@@ -105,6 +105,39 @@ class SeenSetSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mergeByUrl permutation invariance: 500 random multi-duplicate batches") {
+    // generalizes the pinned counterexample: for ANY batch of candidates
+    // (few urls, colliding priorities/retries/epochs to force deep
+    // tie-break chains), every permutation folds to the same merged set
+    import scala.jdk.CollectionConverters._
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    for (trial <- 0 until 500) {
+      val r = mix(trial.toLong)
+      val n = 3 + (mix(r ^ 1) & 7).toInt // 3..10 rows
+      val batch = (0 until n).map { i =>
+        val s = mix(r ^ (i + 2))
+        val url = s"https://h.example/u${(s & 3)}" // <=4 urls -> duplicates
+        Candidate(url, "h.example",
+          priority = ((s >>> 8) & 3) * 0.25,      // colliding priorities
+          discoveredEpoch = ((s >>> 16) & 7).toInt,
+          retries = ((s >>> 24) & 3).toInt)
+      }.toVector
+      def merged(b: Vector[Candidate]): Map[String, Candidate] =
+        SeenSet.mergeByUrl(b.iterator).asScala.map(c => c.url -> c).toMap
+      val base = merged(batch)
+      // a few deterministic permutations incl. reverse and a rotation
+      val perms = Seq(batch.reverse, batch.drop(1) ++ batch.take(1),
+        batch.sortBy(c => mix(c.hashCode.toLong ^ r)))
+      for (p <- perms)
+        assert(merged(p) == base, s"trial $trial: fold differs for permutation $p vs $batch")
+    }
+  }
+
   test("delta blooms are small, sized to actual inserts") {
     import spark.implicits._
     val cfg = SeenSet.Config(numBuckets = 4, expectedPerBucket = 1 << 20)

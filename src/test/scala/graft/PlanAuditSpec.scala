@@ -72,6 +72,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tk.contains("TakeOrderedAndProject"), "top-k should be TakeOrderedAndProject")
   }
 
+  test("ann_ivf_bucketed's DRIVER query scan is partition-pruned to the probe cells") {
+    // the fixture-level prune is pinned in PipelineSpec; this audits the
+    // actual driver-visible query at the driver's own scale: its one
+    // FileSourceScanExec over the persisted index must select at most
+    // nProbe(=8) of the occupied __cell directories
+    val df = SparkEntry.queries("ann_ivf_bucketed")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val idxScan = scans.filter(_.relation.partitionSchema.fieldNames.contains("__cell"))
+    assert(idxScan.nonEmpty, "bucketed query must read the partitioned index")
+    val scanned = idxScan.map(_.selectedPartitions.partitionCount).sum
+    assert(scanned <= 8, s"probe must read <= nProbe cell dirs, scanned=$scanned")
+  }
+
   test("dedup cold path (checkHot=false) carries no histogram aggregate") {
     import spark.implicits._
     val sigs = (1 to 50).map(i => (i.toLong, i.toLong * 7919)).toDF("id", "sig")

@@ -431,6 +431,74 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("recrawlWithDelete fuzz: random delete sets keep the seen-set invariants across rounds") {
+    import spark.implicits._
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val kcfg = CrawlJob.Config(
+      seen = SeenSet.Config(numBuckets = 8, expectedPerBucket = 1 << 14,
+                            filterKind = SeenSet.Cuckoo),
+      sched = Scheduler.Config(perHostBudget = 4, saltFactor = 4))
+    val store = freshStore()
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, 400L, 8).toDF())
+    val robots = SyntheticCorpus.robots(spark, seed).toDF()
+    CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, seed, 400L, 10), kcfg)
+    (1 to 2).foreach(_ => CrawlJob.runEpoch(spark, store, pages, robots, kcfg))
+    def seenUrls(): Vector[String] = {
+      val snap = store.latest().get
+      store.readTable(spark, snap, "seen").select("url").as[String].collect().toVector.sorted
+    }
+    def filters(): Array[SeenSet.UrlFilter] = {
+      val snap = store.latest().get
+      store.readTable(spark, snap, "blooms").as[SeenSet.BucketBloom].collect()
+        .filter(_.bytes.nonEmpty).map(b => SeenSet.deserializeFilter(b.bytes))
+    }
+    for (trial <- 0 until 3) {
+      val before = seenUrls()
+      assert(before.nonEmpty)
+      val r = mix(trial.toLong ^ 0xDE1E7EL)
+      // random subset of seen urls + garbage + a repeat
+      val k = 1 + (mix(r) & 3).toInt
+      val victims = (0 until k).map(i =>
+        before(((mix(r ^ i) >>> 1) % before.length).toInt)).distinct
+      val input = victims ++ victims.take(1) ++ Seq("not a url", "https://never.example/x")
+      // expected deletions = canonical input ∩ current seen (note: the
+      // dangling never.example url gets scheduled+registered as seen by
+      // the FIRST trial's epoch — fetch-missed urls are still marked seen
+      // once scheduled — so later trials legitimately delete it too)
+      val expectedDel = input.flatMap(PyUrl.canonicalize).distinct.filter(before.contains)
+      val res = CrawlJob.recrawlWithDelete(spark, store,
+        spark.createDataset(input), kcfg)
+      assert(res.deletedSeen == expectedDel.length,
+        s"trial $trial: expected ${expectedDel.length} deletions, got ${res.deletedSeen}")
+      val after = seenUrls()
+      assert(after == (before.toSet -- expectedDel).toVector.sorted,
+        s"trial $trial: seen table must lose exactly the deleted urls")
+      // NO collateral false negatives: every still-seen url is still
+      // covered by at least one segment filter
+      val fs = filters()
+      val uncovered = after.filterNot(u => fs.exists(_.mightContain(u)))
+      assert(uncovered.isEmpty, s"trial $trial: false negatives for $uncovered")
+      // the victims become crawlable again through the normal path
+      CrawlJob.runEpoch(spark, store, pages, robots, kcfg)
+      val snap = store.latest().get
+      val lastSched = spark.read.parquet(snap.tables("scheduled").split(";").last)
+        .select("url", "retries").as[(String, Int)].collect()
+      for (v <- victims) {
+        assert(lastSched.count(_._1 == v) == 1,
+          s"trial $trial: deleted url $v must re-schedule exactly once")
+        assert(lastSched.find(_._1 == v).get._2 == 0, s"trial $trial: normal retries=0 path")
+      }
+      val again = seenUrls()
+      assert(again.size == again.distinct.size, s"trial $trial: no duplicate seen rows")
+      assert(victims.forall(again.contains), s"trial $trial: victims re-registered")
+    }
+  }
+
   test("preparePages projection contract: exactly (url, html), unique urls") {
     val prepared = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, 200L, 4).toDF())
     // the documented two-column contract: warc_ts is consumed by the

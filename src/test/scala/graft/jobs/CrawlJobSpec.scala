@@ -431,6 +431,51 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("recrawlWithDelete crash before manifest commit: delete invisible, resume exact") {
+    import spark.implicits._
+    val kcfg = CrawlJob.Config(
+      seen = SeenSet.Config(numBuckets = 8, expectedPerBucket = 1 << 14,
+                            filterKind = SeenSet.Cuckoo),
+      sched = Scheduler.Config(perHostBudget = 4, saltFactor = 4))
+    val store = freshStore()
+    val pages = CrawlJob.preparePages(SyntheticCorpus.pages(spark, seed, 400L, 8).toDF())
+    val robots = SyntheticCorpus.robots(spark, seed).toDF()
+    CrawlJob.init(spark, store, SyntheticCorpus.seeds(spark, seed, 400L, 10), kcfg)
+    (1 to 2).foreach(_ => CrawlJob.runEpoch(spark, store, pages, robots, kcfg))
+    val snapBefore = store.latest().get
+    val target = spark.read.parquet(snapBefore.tables("scheduled").split(";").toIndexedSeq: _*)
+      .select("url").as[String].collect().sorted.head
+    // simulate the crash: the delete's table writes land, the manifest
+    // rename does NOT — same failure point the runEpoch crash spec pins
+    store.writeTable("seen-d0", snapBefore.epoch + 1, spark.range(3).toDF("junk"))
+    store.writeTable("blooms-d0", snapBefore.epoch + 1, spark.range(2).toDF("junk"))
+    val resumed = new ParquetSnapshotStore(store.rootDir)
+    assert(resumed.latest().get.epoch == snapBefore.epoch,
+      "uncommitted delete writes must not advance the snapshot")
+    // the url is STILL seen (the delete never became visible)...
+    assert(store.readTable(spark, resumed.latest().get, "seen")
+      .filter(org.apache.spark.sql.functions.col("url") === target).count() == 1)
+    // ...and re-running the delete on the resumed store works end-to-end
+    val r = CrawlJob.recrawlWithDelete(spark, resumed, spark.createDataset(Seq(target)), kcfg)
+    assert(r.deletedSeen == 1)
+    // the orphan junk dirs from the crash become reapable once their epoch
+    // is committed: after the delete commit at epoch+1 the next expire
+    // removes unreferenced table versions at <= committed epochs
+    val (_, reaped) = resumed.expire(1)
+    val liveDirs = {
+      val out = scala.collection.mutable.Buffer.empty[String]
+      val tables = java.nio.file.Paths.get(resumed.rootDir, "tables")
+      java.nio.file.Files.walk(tables, 2).forEach(p => out += p.toString)
+      out.toVector
+    }
+    assert(reaped > 0, "expire must reap the crash-orphaned delete dirs")
+    val snapNow = resumed.latest().get
+    val referenced = snapNow.tables.values.flatMap(_.split(";")).toSet
+    for (seg <- referenced)
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seg)),
+        s"expire must never reap a referenced segment: $seg")
+  }
+
   test("recrawlWithDelete fuzz: random delete sets keep the seen-set invariants across rounds") {
     import spark.implicits._
     def mix(x0: Long): Long = {

@@ -77,7 +77,19 @@ object Dedup {
 
   /** Candidate near-dup pairs via banded MinHash LSH.
     * numHashes = bands * rowsPerBand. Output: (id_a, id_b) with id_a<id_b,
-    * distinct. Only within-bucket pairs are generated (band value join). */
+    * distinct. Only within-bucket pairs are generated (band value join).
+    *
+    * Hot-bucket machinery is DELIBERATELY absent here (unlike simhash's
+    * 16-bit bands and the embedding LSH's 4-bit bands): a band bucket is
+    * xxhash64 over 4 minhash values — a 64-bit space that cannot
+    * volume-collide at any corpus size. Groups grow only when documents'
+    * shingle sets actually coincide (jaccard ≈ 1), and those pairs ARE
+    * the required output. Pipeline contract: run [[exactKeepMin]] first
+    * so byte-identical duplicates never reach the LSH stage. Measured
+    * (r5 probe): a 6k near-boilerplate cluster (shared 16-token template
+    * + 10 random tokens) in 20k docs yields 1.4M candidates with a max
+    * band group of 1,657 — the template cluster SPREADS because minhash
+    * keys on shingle content, not volume. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand

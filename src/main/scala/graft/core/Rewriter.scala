@@ -60,6 +60,36 @@ object Rewriter {
     e == "utf-8" || e == "utf8" || e == "u8"
   }
 
+  /** CPython's 'utf-16' codec names (the -le/-be variants are NOT in this
+    * family — they never consume a BOM in either runtime and Java's
+    * UTF-16LE/BE charsets already match). */
+  private def isUtf16Name(enc: String): Boolean = {
+    val e = enc.toLowerCase
+    e == "utf-16" || e == "utf16" || e == "u16" || e == "utf_16"
+  }
+
+  /** CPython 'utf-16' DECODE parity: a BOM is consumed and selects the
+    * order; WITHOUT a BOM CPython falls back to the NATIVE byte order —
+    * little-endian on every platform the reference goldens are generated
+    * on — while Java's UTF-16 charset assumes BIG-endian. Observable
+    * divergence (r5 `utf16_nobom_*` fixtures: the reference decodes the
+    * LE file to the real text and the BE file to CJK mojibake; Java's
+    * default did exactly the opposite). Odd trailing bytes are malformed
+    * in both runtimes (REPORT -> error path). */
+  private def decodeUtf16Py(d: Array[Byte]): String = {
+    import java.nio.charset.StandardCharsets
+    val (cs, off) =
+      if (d.length >= 2 && d(0) == 0xFE.toByte && d(1) == 0xFF.toByte)
+        (StandardCharsets.UTF_16BE, 2)
+      else if (d.length >= 2 && d(0) == 0xFF.toByte && d(1) == 0xFE.toByte)
+        (StandardCharsets.UTF_16LE, 2)
+      else (StandardCharsets.UTF_16LE, 0)
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    dec.decode(ByteBuffer.wrap(d, off, d.length - off)).toString
+  }
+
   /** RFC 3629 UTF-8 well-formedness: no truncated sequences, no stray
     * continuations, no overlongs, no surrogates, max U+10FFFF — exactly
     * the byte strings CPython's strict utf-8 codec (and Java's REPORT
@@ -111,6 +141,7 @@ object Rewriter {
     // through to the strict REPORT decoder for the exact error behavior
     if (isUtf8Name(encName) && isValidUtf8(r.data))
       return new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
+    if (isUtf16Name(encName)) return decodeUtf16Py(r.data)
     val cs = charsetFor(encName)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
@@ -131,6 +162,20 @@ object Rewriter {
       val n = s.length
       while (i < n && (s.charAt(i) & 0xF800) != 0xD800) i += 1
       if (i == n) return s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    // CPython 'utf-16' ENCODE parity: BOM (FF FE) + little-endian body;
+    // Java's UTF-16 charset writes a BE BOM + big-endian. Lone surrogates
+    // raise in both (strict REPORT below).
+    if (isUtf16Name(encoding)) {
+      val enc16 = java.nio.charset.StandardCharsets.UTF_16LE.newEncoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val bb = enc16.encode(java.nio.CharBuffer.wrap(s))
+      val out = new Array[Byte](2 + bb.remaining())
+      out(0) = 0xFF.toByte
+      out(1) = 0xFE.toByte
+      bb.get(out, 2, out.length - 2)
+      return out
     }
     val cs = charsetFor(encoding)
     val enc = cs.newEncoder()

@@ -181,6 +181,30 @@ ARCHIVES["encoding"] = arch(
      {"WebResourceURL": f"{H}/plain.txt", "WebResourceMIMEType": "text/plain",
       "WebResourceData": "no declared encoding \xe9".encode("utf-8")}])
 
+# --- utf-16 family: BOM consumed; CPython defaults to NATIVE (LE) order
+# without a BOM while Java's UTF-16 charset assumes BE — the r5 parity fix
+# pins all three observable shapes (BOM, BOM-less LE -> real text,
+# BOM-less BE -> the reference's deterministic mojibake) plus the encode
+# side (extract re-encodes the utf-16 main as BOM + LE). ---------------------
+u16_html = ('<html><head><style>.x { background: url(bg.png); }</style></head>'
+            '<body>h\xe9llo ☃ w\xf6rld <img src="bg.png"></body></html>')
+for _u16name, _u16bytes in [
+    ("utf16_bom", u16_html.encode("utf-16")),
+    ("utf16_nobom_le", u16_html.encode("utf-16-le")),
+    ("utf16_nobom_be", u16_html.encode("utf-16-be"))]:
+    ARCHIVES[_u16name] = arch(
+        {"WebResourceURL": f"{H}/u16.html", "WebResourceMIMEType": "text/html",
+         "WebResourceData": _u16bytes, "WebResourceTextEncodingName": "utf-16"},
+        [res(f"{H}/bg.png", "image/png", PNG)])
+
+# --- shift_jis: multi-byte CJK charset through the alias table ---------------
+ARCHIVES["shiftjis"] = arch(
+    {"WebResourceURL": f"{H}/sj.html", "WebResourceMIMEType": "text/html",
+     "WebResourceData": ('<html><body>日本語テキスト '
+                         '<img src="bg.png"></body></html>').encode("shift_jis"),
+     "WebResourceTextEncodingName": "Shift_JIS"},
+    [res(f"{H}/bg.png", "image/png", PNG)])
+
 # --- csschain: css referencing other subresources (data-uri recursion) -------
 css_a = "@import url(b.css);\n.x { background: url(bg.png); }\n"
 css_b = ".y { background: url(bg.png); }\n"

@@ -32,7 +32,18 @@ object Rewriter {
     "iso-8859-1" -> "ISO-8859-1", "iso8859-1" -> "ISO-8859-1", "8859" -> "ISO-8859-1",
     "cp1252" -> "windows-1252", "windows-1252" -> "windows-1252",
     "ascii" -> "US-ASCII", "us-ascii" -> "US-ASCII",
+    // the utf-16/utf-32 FAMILY names (utf-16, utf16, u16, ...) never reach
+    // this table — they take the BOM/native-LE CPython-parity paths — but
+    // the explicit-endian variants decode identically in both runtimes and
+    // map straight to the JDK charsets. CPython accepts several spellings
+    // Java's Charset.forName does not ("utf-16-le", "utf_16_le").
     "utf-16" -> "UTF-16", "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
+    "utf-16-le" -> "UTF-16LE", "utf_16_le" -> "UTF-16LE", "utf16le" -> "UTF-16LE",
+    "utf-16-be" -> "UTF-16BE", "utf_16_be" -> "UTF-16BE", "utf16be" -> "UTF-16BE",
+    "utf-32le" -> "UTF-32LE", "utf-32-le" -> "UTF-32LE", "utf_32_le" -> "UTF-32LE",
+    "utf-32be" -> "UTF-32BE", "utf-32-be" -> "UTF-32BE", "utf_32_be" -> "UTF-32BE",
+    // CJK names also appear in PyCharsets.Supported, which intercepts
+    // decode/encode BEFORE charsetFor; gb2312 (JDK-exact) stays here
     "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS", "sjis" -> "Shift_JIS",
     "euc-jp" -> "EUC-JP", "euc-kr" -> "EUC-KR", "gb2312" -> "GB2312",
     "gbk" -> "GBK", "big5" -> "Big5", "koi8-r" -> "KOI8-R")
@@ -90,6 +101,60 @@ object Rewriter {
     dec.decode(ByteBuffer.wrap(d, off, d.length - off)).toString
   }
 
+  /** CPython's 'utf-32' codec names (the -le/-be variants map straight to
+    * Java's UTF-32LE/BE, which already agree). */
+  private def isUtf32Name(enc: String): Boolean = {
+    val e = enc.toLowerCase
+    e == "utf-32" || e == "utf32" || e == "u32" || e == "utf_32"
+  }
+
+  /** Same BOM/native-LE semantics as [[decodeUtf16Py]], one size up —
+    * Java's UTF-32 charset likewise assumes BE without a BOM. */
+  private def decodeUtf32Py(d: Array[Byte]): String = {
+    val (le, off) =
+      if (d.length >= 4 && d(0) == 0 && d(1) == 0 &&
+          d(2) == 0xFE.toByte && d(3) == 0xFF.toByte) (false, 4)
+      else if (d.length >= 4 && d(0) == 0xFF.toByte && d(1) == 0xFE.toByte &&
+               d(2) == 0 && d(3) == 0) (true, 4)
+      else (true, 0)
+    decodeUtf32Fixed(d, off, le)
+  }
+
+  /** CPython's EXPLICIT-endian 'utf-32-le'/'utf-32-be' codecs never
+    * consume a BOM (a leading U+FEFF stays in the text) — Java's
+    * UTF-32LE/BE decoders DO strip one, so those names are hand-decoded
+    * too (corpus-caught divergence). */
+  private def isUtf32LeName(enc: String): Boolean = {
+    val e = enc.toLowerCase
+    e == "utf-32-le" || e == "utf_32_le" || e == "utf-32le" || e == "utf32le"
+  }
+  private def isUtf32BeName(enc: String): Boolean = {
+    val e = enc.toLowerCase
+    e == "utf-32-be" || e == "utf_32_be" || e == "utf-32be" || e == "utf32be"
+  }
+
+  /** UTF-32 strict decode, CPython semantics: length must be a multiple
+    * of 4; code points above U+10FFFF or in the surrogate range raise. */
+  private def decodeUtf32Fixed(d: Array[Byte], off: Int, le: Boolean): String = {
+    val n = d.length - off
+    if (n % 4 != 0)
+      throw new java.nio.charset.MalformedInputException(n % 4)
+    val sb = new java.lang.StringBuilder(n / 2)
+    var i = off
+    while (i < d.length) {
+      val cp =
+        if (le) (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8) |
+                ((d(i + 2) & 0xFF) << 16) | ((d(i + 3) & 0xFF) << 24)
+        else ((d(i) & 0xFF) << 24) | ((d(i + 1) & 0xFF) << 16) |
+             ((d(i + 2) & 0xFF) << 8) | (d(i + 3) & 0xFF)
+      if (cp < 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+        throw new java.nio.charset.MalformedInputException(4)
+      sb.appendCodePoint(cp)
+      i += 4
+    }
+    sb.toString
+  }
+
   /** RFC 3629 UTF-8 well-formedness: no truncated sequences, no stray
     * continuations, no overlongs, no surrogates, max U+10FFFF — exactly
     * the byte strings CPython's strict utf-8 codec (and Java's REPORT
@@ -142,6 +207,15 @@ object Rewriter {
     if (isUtf8Name(encName) && isValidUtf8(r.data))
       return new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
     if (isUtf16Name(encName)) return decodeUtf16Py(r.data)
+    if (isUtf32Name(encName)) return decodeUtf32Py(r.data)
+    if (isUtf32LeName(encName)) return decodeUtf32Fixed(r.data, 0, le = true)
+    if (isUtf32BeName(encName)) return decodeUtf32Fixed(r.data, 0, le = false)
+    // CJK charsets whose JDK tables diverge from CPython's decode via
+    // python-enumerated tables (PyCharsets scaladoc)
+    PyCharsets.tableFor(encName) match {
+      case Some(t) => return PyCharsets.decode(t, r.data)
+      case None    => ()
+    }
     val cs = charsetFor(encName)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
@@ -176,6 +250,20 @@ object Rewriter {
       out(1) = 0xFE.toByte
       bb.get(out, 2, out.length - 2)
       return out
+    }
+    if (isUtf32Name(encoding)) {
+      val enc32 = Charset.forName("UTF-32LE").newEncoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val bb = enc32.encode(java.nio.CharBuffer.wrap(s))
+      val out = new Array[Byte](4 + bb.remaining())
+      out(0) = 0xFF.toByte; out(1) = 0xFE.toByte; out(2) = 0; out(3) = 0
+      bb.get(out, 4, out.length - 4)
+      return out
+    }
+    PyCharsets.tableFor(encoding) match {
+      case Some(t) => return PyCharsets.encode(t, s)
+      case None    => ()
     }
     val cs = charsetFor(encoding)
     val enc = cs.newEncoder()

@@ -197,13 +197,22 @@ for _u16name, _u16bytes in [
          "WebResourceData": _u16bytes, "WebResourceTextEncodingName": "utf-16"},
         [res(f"{H}/bg.png", "image/png", PNG)])
 
-# --- shift_jis: multi-byte CJK charset through the alias table ---------------
-ARCHIVES["shiftjis"] = arch(
-    {"WebResourceURL": f"{H}/sj.html", "WebResourceMIMEType": "text/html",
-     "WebResourceData": ('<html><body>日本語テキスト '
-                         '<img src="bg.png"></body></html>').encode("shift_jis"),
-     "WebResourceTextEncodingName": "Shift_JIS"},
-    [res(f"{H}/bg.png", "image/png", PNG)])
+# --- CJK charsets through the table-driven CPython-parity codecs, each
+# carrying a KNOWN-DIVERGENT character so the golden pins the divergence
+# end-to-end (Shift_JIS/EUC-JP 0x213D -> U+2015 HORIZONTAL BAR where the
+# JDK says U+2014; GBK 0xA892 -> U+2295; Big5 0xA240/0xA15A -> U+FF3C/
+# U+2574 where the JDK swaps). ------------------------------------------------
+for _cjkname, _cjkenc, _cjktext in [
+    ("shiftjis", "Shift_JIS", '日本語テキスト ― ｱｲｳ'),
+    ("eucjp", "euc-jp", '日本語 ― と補助漢字'),
+    ("gbkarch", "gbk", '中文简体 ⊕ 文本'),
+    ("big5arch", "big5", '繁體字 ＼ ╴ 文字')]:
+    ARCHIVES[_cjkname] = arch(
+        {"WebResourceURL": f"{H}/{_cjkname}.html", "WebResourceMIMEType": "text/html",
+         "WebResourceData": (f'<html><body>{_cjktext} '
+                             '<img src="bg.png"></body></html>').encode(_cjkenc.lower()),
+         "WebResourceTextEncodingName": _cjkenc},
+        [res(f"{H}/bg.png", "image/png", PNG)])
 
 # --- csschain: css referencing other subresources (data-uri recursion) -------
 css_a = "@import url(b.css);\n.x { background: url(bg.png); }\n"

@@ -446,15 +446,37 @@ object Dedup {
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
+  /** Double twins: Similarity.cosine on array<double> multiplies and
+    * accumulates in double throughout — same sequential op order. */
+  private[pipeline] def cosineNormSqD(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  }
+  private[pipeline] def cosineDotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
   /** Verify pairs INSIDE each (band,bucket,refine) group: emit
     * (id_a, id_b, cosine) for same-group pairs with cosine >= threshold,
-    * id_a < id_b. Input columns: (id, v, band, bucket, refine). */
+    * id_a < id_b. Input columns: (id, v, band, bucket, refine). A
+    * double-typed vector column is read as doubles and verified with the
+    * double kernel (bit-matching Similarity.cosine on array<double>) —
+    * the float-only getSeq cast crashed warm/hot groups on double
+    * embeddings (r5 advisory). */
   private def groupLocalVerify(rows: DataFrame, threshold: Double): DataFrame = {
     val spark = rows.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val idType = rows.schema("id").dataType
+    val isDouble = rows.schema("v").dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
     val outSchema = StructType(Seq(
       StructField("id_a", idType), StructField("id_b", idType),
       StructField("cosine", DoubleType)))
@@ -466,14 +488,24 @@ object Dedup {
         val grp = it.toArray
         val ids = new Array[Any](grp.length)
         val vs = new Array[Array[Float]](grp.length)
+        val vds = new Array[Array[Double]](grp.length)
         val nsq = new Array[Double](grp.length)
         var i = 0
         while (i < grp.length) {
           ids(i) = grp(i).get(iId)
-          vs(i) = grp(i).getSeq[Float](iV).toArray
-          nsq(i) = cosineNormSq(vs(i))
+          if (isDouble) {
+            vds(i) = grp(i).getSeq[Double](iV).toArray
+            nsq(i) = cosineNormSqD(vds(i))
+          } else {
+            vs(i) = grp(i).getSeq[Float](iV).toArray
+            nsq(i) = cosineNormSq(vs(i))
+          }
           i += 1
         }
+        def vecLen(j: Int): Int = if (isDouble) vds(j).length else vs(j).length
+        def pairCos(a: Int, b: Int): Double =
+          if (isDouble) cosineFromDot(cosineDotD(vds(a), vds(b)), nsq(a), nsq(b))
+          else cosineFromDot(cosineDot(vs(a), vs(b)), nsq(a), nsq(b))
         new Iterator[Row] {
           private var a = 0
           private var b = 1
@@ -483,8 +515,8 @@ object Dedup {
             while (nextRow == null && a < grp.length - 1) {
               // ragged pair -> zip_with would null-pad and the cosine
               // would be null -> dropped; skip to match
-              if (vs(a).length == vs(b).length && ids(a) != ids(b)) {
-                val c = cosineFromDot(cosineDot(vs(a), vs(b)), nsq(a), nsq(b))
+              if (vecLen(a) == vecLen(b) && ids(a) != ids(b)) {
+                val c = pairCos(a, b)
                 if (c >= threshold) {
                   val (x, y) = if (idLt(ids(a), ids(b))) (ids(a), ids(b)) else (ids(b), ids(a))
                   nextRow = Row(x, y, c)

@@ -604,4 +604,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.subsetOf(cold), s"cold path lost planted pairs: ${planted -- cold}")
     assert(planted.subsetOf(hot), s"refinement path lost planted pairs: ${planted -- hot}")
   }
+
+  test("embedding near-dups: double-typed vectors survive the group-local tiers (r5 advisory)") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = (0 until dim).map(i => math.sin(seed * 31 + i))
+    val baseRows = (1 to 120).map(i => (i.toLong, vec(i)))
+    val twins = (1 to 120).filter(_ % 10 == 0).map { i =>
+      (1000L + i, vec(i).zipWithIndex.map { case (x, j) => x * (1.0 + 0.001 * (j % 5 - 2)) }.toSeq)
+    }
+    val df = (baseRows ++ twins).toDF("vec_id", "embedding")
+    def found(localT: Int, hotT: Int) = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+        threshold = 0.999, bands = 8, planesPerBand = 4, dim = dim,
+        hotBucketThreshold = hotT, localVerifyThreshold = localT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // sparse reference: every group below the local threshold -> pure SQL
+    // join tier (Similarity.cosine over array<double>)
+    val sparse = found(Int.MaxValue, Int.MaxValue)
+    // warm: every >1-row group goes through groupLocalVerify on DOUBLE
+    // vectors (pre-fix: ClassCastException); same candidates, bit-equal
+    // cosines -> identical output
+    val warm = found(1, df.count().toInt - 1)
+    assert(warm == sparse, s"double-vector warm tier diverged: ${warm.size} vs ${sparse.size}")
+    // hot: refinement planes + group-local verify on double vectors
+    val hot = found(1, 2)
+    val planted = (1 to 120).filter(_ % 10 == 0).map(i => (i.toLong, 1000L + i)).toSet
+    val hotPairs = hot.map(t => (t._1, t._2))
+    assert(planted.subsetOf(hotPairs),
+      s"double-vector hot tier lost planted pairs: ${planted -- hotPairs}")
+  }
 }

@@ -11,14 +11,30 @@ import graft.model.Candidate
   * batch is (host, priority DESC, url ASC).
   *
   * Scale: a naive groupBy(host) shuffles hot hosts (Zipf head) into single
-  * tasks. Two-phase top-k kills the skew: a salted partial top-k first
-  * (each host split across `saltFactor` groups, bounded heap of size
-  * `budget` each), then the final per-host top-k merges at most
-  * `saltFactor * budget` rows per host — O(budget) memory per task, never
-  * O(candidates-per-host). Both phases use bounded heaps, not sorts.
+  * tasks. The r6 shape is a MAP-SIDE partial top-k (guide §2.3 "aggregate
+  * before you shuffle") followed by one shuffle for the exact per-host
+  * merge:
+  *  - phase 1 runs WHERE THE ROWS ARE (mapPartitions, no shuffle): each
+  *    task keeps a bounded heap of size `budget` per host it sees, flushing
+  *    the heap table whenever the kept-row count passes a cap, so task
+  *    memory stays O(cap) regardless of host count. Dropping a row is only
+  *    allowed when `budget` strictly-better same-host rows exist in the
+  *    same task — so every row of the true global per-host top-k survives.
+  *  - phase 2 merges per host with the same bounded heap. Its fan-in per
+  *    host is <= min(host rows, partitions * budget): for the Zipf-hottest
+  *    host that is 5x below the old salted phase-1 task volume
+  *    (hostRows / saltFactor) while phase 1 is now embarrassingly parallel
+  *    instead of 8-way salted.
+  * The pre-r6 shape (salted groupByKey phase 1) shuffled EVERY candidate
+  * once more; this one shuffles at most partitions * budget rows per host.
+  * Both phases use bounded heaps, not sorts. Final output is the exact
+  * per-host top-k either way (flush boundaries change only which
+  * superset phase 1 emits, never the phase-2 result).
   */
 object Scheduler {
 
+  /** saltFactor is retained for config compatibility (the r6 map-side
+    * partial top-k needs no salt); it no longer affects the plan. */
   final case class Config(perHostBudget: Int = 16, saltFactor: Int = 8)
 
   /** Candidate order: best first. */
@@ -36,23 +52,58 @@ object Scheduler {
     heap.toVector.sorted(best).iterator
   }
 
-  private def salt(url: String, factor: Int): Int =
-    (((url.hashCode.toLong % factor) + factor) % factor).toInt
+  /** Rows a phase-1 task may hold across its per-host heaps before it
+    * flushes them downstream (memory bound ~O(this) per task; a flush
+    * only ever FORWARDS rows, so it cannot affect the phase-2 result). */
+  private val Phase1FlushRows = 1 << 17
+
+  private final class HostHeap(val budget: Int) {
+    val heap = new scala.collection.mutable.PriorityQueue[Candidate]()(best)
+    def offer(c: Candidate): Boolean = {
+      if (heap.size < budget) { heap.enqueue(c); true }
+      else if (best.lt(c, heap.head)) { heap.dequeue(); heap.enqueue(c); false }
+      else false
+    }
+  }
 
   /** Dequeue with the within-host rank attached: the final top-k emits in
     * (priority DESC, url ASC) order per host, so the rank is free — no
     * global sort/zipWithIndex pass needed for a deterministic total order
-    * (host ASC, rank ASC). */
+    * (host ASC, rank ASC). Input rows are (candidate, crawl-delay budget);
+    * the budget is constant within a host. */
   def dequeueRanked(spark: SparkSession, candidates: Dataset[(Candidate, Int)],
                     cfg: Config): Dataset[(Candidate, Int)] = {
     import spark.implicits._
-    val partial = candidates
-      .groupByKey { case (c, _) => (c.host, salt(c.url, cfg.saltFactor)) }
-      .flatMapGroups { (_, it) =>
-        val buf = it.buffered
-        val budget = math.min(cfg.perHostBudget, math.max(1, buf.head._2))
-        topK(budget, buf.map(_._1)).map(c => (c, budget))
+    val partial = candidates.mapPartitions { rows =>
+      val heaps = new java.util.HashMap[String, HostHeap]()
+      var kept = 0
+      def drain(): Iterator[(Candidate, Int)] = {
+        val snapshot = new scala.collection.mutable.ArrayBuffer[(Candidate, Int)](kept)
+        val it = heaps.values().iterator()
+        while (it.hasNext) {
+          val h = it.next()
+          h.heap.foreach(c => snapshot += ((c, h.budget)))
+        }
+        heaps.clear()
+        kept = 0
+        snapshot.iterator
       }
+      def loop(): Iterator[(Candidate, Int)] =
+        if (!rows.hasNext) drain()
+        else {
+          while (rows.hasNext && kept < Phase1FlushRows) {
+            val (c, b) = rows.next()
+            var h = heaps.get(c.host)
+            if (h == null) {
+              h = new HostHeap(math.min(cfg.perHostBudget, math.max(1, b)))
+              heaps.put(c.host, h)
+            }
+            if (h.offer(c)) kept += 1
+          }
+          if (rows.hasNext) drain() ++ loop() else drain()
+        }
+      loop()
+    }
     partial
       .groupByKey(_._1.host)
       .flatMapGroups { (_, it) =>

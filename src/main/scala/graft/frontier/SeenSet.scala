@@ -241,15 +241,16 @@ object SeenSet {
     * between GCs, VERDICT r4 #2). */
   def dedupAndFilterNew(spark: SparkSession, candidates: Dataset[Candidate],
                         seen: DataFrame, blooms: Dataset[BucketBloom],
-                        cfg: Config): (Dataset[Candidate], Dataset[String], Dataset[_]) = {
+                        cfg: Config,
+                        mayHaveRetries: Boolean = true): (Dataset[Candidate], Dataset[String], Dataset[_]) = {
     import spark.implicits._
-    val marked: Dataset[(Candidate, Boolean)] =
+    val marked: Dataset[(Candidate, Boolean, Int)] =
       candidates.groupByKey(c => bucketOfUrl(c.url, cfg.numBuckets))
         .cogroup(blooms.groupByKey(_.bucket)) { (bucket, cs, bs) =>
           // delta segments: maybe-seen = contained in ANY segment filter
           val fs = bs.filter(_.bytes.nonEmpty).map(b => deserializeFilter(b.bytes)).toArray
           val it = mergeByUrl(cs)
-          new Iterator[(Candidate, Boolean)] {
+          new Iterator[(Candidate, Boolean, Int)] {
             def hasNext = it.hasNext
             def next() = {
               val c = it.next()
@@ -258,29 +259,52 @@ object SeenSet {
               while (!maybe && i < fs.length) {
                 maybe = fs(i).mightContain(c.url); i += 1
               }
-              (c, maybe)
+              (c, maybe, bucket)
             }
           }
         }
-    val cached = marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val definitelyNew = cached.filter(!_._2).map(_._1)
-    val maybe = cached.filter(_._2).map(_._1)
+    // COLUMNAR cache: the pre-r6 shape persisted the typed tuples, so every
+    // downstream branch (definitely-new, maybe, retried splits) re-decoded
+    // the full epoch frontier into Candidate objects — 3-5 object-decode
+    // scans per epoch, the single largest exec cost of the epoch's main
+    // job. Flattening to columns before the persist turns each branch into
+    // a codegen'd filter over cached columnar batches; objects are only
+    // rebuilt at the (small) typed boundaries that need them.
+    val cached = marked.toDF("c", "maybe", "bucket")
+      .select(col("c.url").as("url"), col("c.host").as("host"),
+              col("c.priority").as("priority"),
+              col("c.discoveredEpoch").as("discoveredEpoch"),
+              col("c.retries").as("retries"), col("maybe"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candCols = Seq("url", "host", "priority", "discoveredEpoch", "retries").map(col)
+    val maybe = cached.filter(col("maybe"))
     // partition-pruning the seen read needs a driver round-trip (collect of
     // the hot bucket ids) that forces the cogroup early — worth one extra
     // job only when there are enough buckets for the prune to skip real
     // I/O (the 10^10 sizing uses 4096; tests/bench use 8-32 where every
-    // bucket is hot anyway)
+    // bucket is hot anyway). The bucket id rides out of the cogroup, so
+    // the probe is a columnar distinct, not a per-url rehash.
     val pruned = if (cfg.numBuckets > 64) {
-      val hotBuckets = maybe.map(c => bucketOfUrl(c.url, cfg.numBuckets)).distinct().collect()
+      val hotBuckets = maybe.select("bucket").distinct().as[Int].collect()
       prunedSeen(seen, hotBuckets, cfg.numBuckets)
     } else seen
-    val survived = maybe.join(pruned.select(col("url")), Seq("url"), "left_anti").as[Candidate]
-    val kept = definitelyNew
-      .unionByName(survived.filter(_.retries == 0))
-      .unionByName(maybe.filter(_.retries > 0))
-    val newRetried = definitelyNew.filter(_.retries > 0).map(_.url)
-      .unionByName(survived.filter(_.retries > 0).map(_.url))
-    (kept, newRetried, cached)
+    val survived = maybe.join(pruned.select(col("url")), Seq("url"), "left_anti")
+    if (!mayHaveRetries) {
+      // the caller proved no candidate carries a retry ticket (the common
+      // steady-state epoch: snapshot counter frontierRetried == 0 and no
+      // recrawl input) — the retry branches are provably empty, so the
+      // plan drops two cache scans and the retried-url union outright
+      val kept = cached.filter(!col("maybe")).select(candCols: _*)
+        .unionByName(survived.select(candCols: _*)).as[Candidate]
+      (kept, spark.emptyDataset[String], cached)
+    } else {
+      val kept = cached.filter(!col("maybe") || col("retries") > 0).select(candCols: _*)
+        .unionByName(survived.filter(col("retries") === 0).select(candCols: _*))
+        .as[Candidate]
+      val newRetried = cached.filter(!col("maybe") && col("retries") > 0).select("url")
+        .unionByName(survived.filter(col("retries") > 0).select("url")).as[String]
+      (kept, newRetried, cached)
+    }
   }
 
   /** Remove urls' fingerprints from ONE filter segment — the cuckoo DELETE

@@ -128,7 +128,8 @@ object CrawlJob {
       "frontier" -> store.writeTable("frontier", -1, frontier.toDF().repartition(1)),
       "seen" -> store.writeTable("seen", -1, emptySeen),
       "blooms" -> store.writeTable("blooms", -1, emptyBlooms))
-    store.commit(-1, tables, Map("frontierSize" -> frontier.count()))
+    store.commit(-1, tables,
+      Map("frontierSize" -> frontier.count(), "frontierRetried" -> 0L))
   }
 
   /** Run one epoch on top of the latest snapshot. pages: the PREPARED
@@ -172,6 +173,9 @@ object CrawlJob {
     val obsDisc = Observation(s"disc-$epoch")
 
     val frontierBase = store.readTable(spark, snap, "frontier").as[Candidate]
+    // persist only when a recrawl makes the frame dual-consumed (count +
+    // cogroup); the steady-state epoch reads the frontier parquet exactly
+    // once, so caching it was a pure block-manager write with no reader
     val frontier = (recrawl match {
       case Some(urls) =>
         val rc = urls.flatMap(u => PyUrl.canonicalize(u).map(c =>
@@ -185,9 +189,9 @@ object CrawlJob {
         // replacement reset retries to 1, granting a url up to one extra
         // schedule beyond the 1+maxRetries bound — r5 advisory). A plain
         // union suffices; no join.
-        frontierBase.unionByName(rc)
+        frontierBase.unionByName(rc).persist(StorageLevel.MEMORY_AND_DISK)
       case None => frontierBase
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    })
     // frontier row count is already known exactly: the previous snapshot
     // recorded it at write time (no extra pass, no metric plumbing). A
     // recrawl epoch changed the row set (anti-join removal + union), so
@@ -202,12 +206,20 @@ object CrawlJob {
     // 1+2. FUSED in-batch URL dedup + seen-set filter: one shuffle by
     //    bucket serves both (url-dedup key and bloom bucket are both
     //    functions of url); retried/recrawl candidates pass the gate but
-    //    their provably-new subset comes back for seen registration
+    //    their provably-new subset comes back for seen registration.
+    //    mayHaveRetries: the previous snapshot tracks whether ANY retry
+    //    ticket can be in this frontier (frontierRetried counter, exact by
+    //    induction — retryCands and carried-over residual rows are both
+    //    counted at write time); the common steady-state epoch has none,
+    //    which drops the retry branches (two cache scans + a union) and
+    //    the newlySeen semi-join below from the plan entirely. A pre-r6
+    //    snapshot without the counter stays on the conservative path.
+    val mayHaveRetries = recrawl.isDefined ||
+      snap.counters.get("frontierRetried").forall(_ > 0L)
     val (unseenRaw, newRetriedUrls, seenSetCache) =
-      SeenSet.dedupAndFilterNew(spark, frontier, seen, blooms, cfg.seen)
+      SeenSet.dedupAndFilterNew(spark, frontier, seen, blooms, cfg.seen, mayHaveRetries)
     val unseen = unseenRaw
       .toDF().observe(obsUnseen, count(lit(1)).as("n")).as[Candidate]
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     phase("dedup+seen-filter(graph)")
     // 3. robots gate: broadcast the (small) per-host rule table
@@ -236,20 +248,22 @@ object CrawlJob {
         crawlDelayBudget(col("crawl_delay"), cfg.sched.perHostBudget, cfg.epochWindowSec))
       .observe(obsGate, sum(when(col("__allowed"), 0L).otherwise(1L)).as("blocked"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // `allowed` is a plain filter+project over the persisted `gated`
+    // cache — consumers read the cache directly (a second persist of the
+    // same rows bought nothing but block-manager traffic)
     val allowed = gated.filter(col("__allowed"))
       .select("url", "host", "priority", "discoveredEpoch", "retries").as[Candidate]
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val allowedBudgeted = gated.filter(col("__allowed"))
       .select(struct(col("url"), col("host"), col("priority"), col("discoveredEpoch"),
                      col("retries")).as("_1"), col("__budget").as("_2"))
       .as[(Candidate, Int)]
 
-    // 4. politeness dequeue (two-phase salted top-k, crawl-delay budgets)
-    //    with the within-host rank attached by the final top-k (already
-    //    sorted per host) — no global sort / zipWithIndex jobs. The
-    //    deterministic total crawl order is (epoch, host ASC, seq ASC).
+    // 4. politeness dequeue (map-side partial top-k + one per-host merge
+    //    shuffle, crawl-delay budgets) with the within-host rank attached
+    //    by the final top-k (already sorted per host) — no global sort /
+    //    zipWithIndex jobs. The deterministic total crawl order is
+    //    (epoch, host ASC, seq ASC).
     val ranked = Scheduler.dequeueRanked(spark, allowedBudgeted, cfg.sched)
-    val scheduled = ranked.map(_._1).persist(StorageLevel.MEMORY_AND_DISK)
     phase("gate+dequeue(graph)")
     val scheduledSeq: Dataset[ScheduledRow] = ranked
       .map { case (c, r) => ScheduledRow(epoch, r.toLong, c.url, c.host, c.priority, c.retries) }
@@ -318,19 +332,22 @@ object CrawlJob {
     extractedAll.unpersist()
     phase("slim-cache-swap")
 
-    // misses -> retry (bounded)
+    // misses -> retry (bounded). Columnar: url_host/arithmetic columns
+    // instead of a typed map — no object decode/encode pass (url_host IS
+    // PyUrl.hostOf, and discovered rows stay Tungsten rows end to end).
     val retryCands = slim.filter(!col("__hit") && col("retries") < cfg.maxRetries)
-      .select("url", "host", "priority", "retries").as[(String, String, Double, Int)]
-      .map { case (u, h, p, r) => Candidate(u, h, p, epoch.toInt, r + 1) }
+      .select(col("url"), col("host"), col("priority"),
+              lit(epoch.toInt).as("discoveredEpoch"),
+              (col("retries") + 1).as("retries")).as[Candidate]
 
     val discovered: Dataset[Candidate] = slim.filter(col("__hit"))
-      .select(col("url").as("src"), col("priority"), explode(col("outlinks")).as("out"))
+      .select(col("priority"), explode(col("outlinks")).as("out"))
       .withColumn("curl", url_canonicalize(col("out")))
       .filter(col("curl").isNotNull)
-      .select(col("curl"), col("priority"))
-      .as[(String, Double)]
-      .map { case (u, p) => Candidate(u, PyUrl.hostOf(u), p * cfg.linkPriorityDecay, epoch.toInt, 0) }
-      .toDF().observe(obsDisc, count(lit(1)).as("n")).as[Candidate]
+      .select(col("curl").as("url"), url_host(col("curl")).as("host"),
+              (col("priority") * cfg.linkPriorityDecay).as("priority"),
+              lit(epoch.toInt).as("discoveredEpoch"), lit(0).as("retries"))
+      .observe(obsDisc, count(lit(1)).as("n")).as[Candidate]
 
     // 8. next state. The only join here is a left-anti join that removes
     // THIS epoch's scheduled urls from the carried-over frontier — see
@@ -345,18 +362,28 @@ object CrawlJob {
     // raw discovered candidates (associative reducer -> same winner as
     // incremental dedup); frontier carries raw links for exactly one epoch.
     val residual = residualFrontier(allowed.toDF(), scheduledSeq.select("url").toDF()).as[Candidate]
+    // the observe also counts retry tickets entering the next frontier
+    // (discovered rows are retries=0 by construction), maintaining the
+    // frontierRetried snapshot counter that lets the NEXT epoch skip the
+    // retry branches when it is zero
     val nextFrontier = residual.unionByName(retryCands)
-      .toDF().observe(obsNext, count(lit(1)).as("n")).as[Candidate]
+      .toDF().observe(obsNext, count(lit(1)).as("n"),
+        sum(when(col("retries") > 0, 1L).otherwise(0L)).as("retried")).as[Candidate]
       .unionByName(discovered)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // fresh scheduled urls are new by construction; scheduled RETRIED urls
     // are new only when the seen filter proved it (a recrawled never-seen
     // url — register it, else every future discovery re-crawls it; a
-    // fetch-miss retry is already seen and must not duplicate)
-    val newlySeen = scheduledSeq.filter(_.retries == 0).map(_.url)
-      .union(scheduledSeq.filter(_.retries > 0).map(_.url).toDF("url")
-        .join(newRetriedUrls.toDF("url"), Seq("url"), "left_semi").as[String])
+    // fetch-miss retry is already seen and must not duplicate). When no
+    // retry ticket can exist (mayHaveRetries=false) the semi-join branch
+    // is provably empty and stays out of the plan: newlySeen becomes a
+    // plain column projection of the persisted scheduledSeq cache.
+    val newlySeen: Dataset[String] =
+      if (!mayHaveRetries) scheduledSeq.select("url").as[String]
+      else scheduledSeq.toDF().filter(col("retries") === 0).select("url").as[String]
+        .union(scheduledSeq.toDF().filter(col("retries") > 0).select("url")
+          .join(newRetriedUrls.toDF("url"), Seq("url"), "left_semi").as[String])
     // seen set is APPEND-ONLY: write just this epoch's delta; the snapshot
     // records the segment list (rewriting a 10^10-row table per epoch is
     // not an option)
@@ -456,14 +483,14 @@ object CrawlJob {
       "scheduled" -> scheduledCount, "fetched" -> fetchedCount,
       "deduped" -> dedupedCount, "robotsBlocked" -> robotsBlocked,
       "retried" -> retriedCount, "discovered" -> discoveredCount,
-      "frontierSize" -> frontierSize)
+      "frontierSize" -> frontierSize,
+      "frontierRetried" -> metric(obsNext, "retried"))
     store.commit(epoch, tables, counters)
     // snapshot GC: bounded state store — superseded frontier versions,
     // compacted-away bloom generations, crash orphans (epoch <= committed)
     if (cfg.retainSnapshots > 0) store.expire(cfg.retainSnapshots)
 
-    Seq(frontier.toDF(), unseen.toDF(), gated, allowed.toDF(), scheduled.toDF(),
-        scheduledSeq.toDF(), slim, nextFrontier.toDF())
+    Seq(frontier.toDF(), gated, scheduledSeq.toDF(), slim, nextFrontier.toDF())
       .foreach(d => d.unpersist())
     seenSetCache.unpersist()
 

@@ -180,11 +180,15 @@ object Dedup {
     // full count() would recompute the whole upstream lineage.
     val probeRows = math.min(hotBucketThreshold.toLong + 1, Int.MaxValue).toInt
     val canBeHot = df.limit(probeRows).count() > hotBucketThreshold
+    // hamming filter BEFORE the pair distinct (guide §2.3 — shuffle fewer
+    // bytes): a random band collision almost always fails the <=k check,
+    // so filtering first drops most candidate rows before they shuffle;
+    // filter-then-distinct == distinct-then-filter for a row-wise predicate
     simhashCandidatePairs(sigs, maxHamming, hotBucketThreshold, canBeHot)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Candidate pairs from banded simhash signatures, with BOUNDED bucket
@@ -244,6 +248,19 @@ object Dedup {
     val hotKeys = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > hotBucketThreshold)
       .select(col("band"), col("bucket"), lit(true).as("__hot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // histogram-driven plan branch: when the histogram proves NO bucket is
+    // hot (the common diverse-corpus regime), the mark join and the whole
+    // sub-banding machinery would run as 4-5 empty-input stages — skip
+    // them outright. hotKeys is tiny (one row per hot group) and persisted,
+    // so the probe and the mark join share one histogram pass.
+    if (hotKeys.isEmpty) {
+      val cold = banded.select("id", "sig", "band", "bucket")
+      return cold.toDF("id_a", "sig_a", "band", "bucket")
+        .join(cold.toDF("id_b", "sig_b", "band", "bucket"), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    }
     val marked = banded.join(hotKeys, Seq("band", "bucket"), "left")
     val cold = marked.filter(col("__hot").isNull).select("id", "sig", "band", "bucket")
     val coldPairs = cold.toDF("id_a", "sig_a", "band", "bucket")
@@ -355,6 +372,18 @@ object Dedup {
     // histogram + hot-key join + cold self-join sides share one banded
     // computation (disk-backed; freed by the context cleaner)
     val banded = bandedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sparsePlan(): DataFrame = {
+      val pairs = banded.toDF("id_a", "band", "bucket")
+        .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      pairs
+        .join(v.toDF("id_a", "v_a"), Seq("id_a"))
+        .join(v.toDF("id_b", "v_b"), Seq("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
     // Hot (band,bucket) groups are refined with `refinePlanes` EXTRA
     // hyperplane sign bits (an independent seed no band uses): a 16-bit
     // band over 10^10 rows averages ~1.5e5 rows per bucket even unskewed,
@@ -384,35 +413,61 @@ object Dedup {
     // order (differential-pinned in PipelineSpec), so survivors from any
     // tier are bit-identical and the final distinct dedups across tiers.
     // A group materializes only its ROWS (linear); pair iterators are lazy.
+    // the per-group histogram is tiny (one row per >threshold group) and
+    // drives a DRIVER-SIDE plan branch: its 3-scalar summary tells us
+    // which tiers are actually populated, so empty tiers (the cold
+    // self-join chain when everything is hot, or the whole warm/hot
+    // machinery on a diverse corpus) never enter the plan as 4-6
+    // empty-input stages. The persisted sizes frame is then reused by the
+    // mark join, so the histogram still runs once.
     val sizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > localVerifyThreshold)
       .select(col("band"), col("bucket"), col("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = sizes.agg(count(lit(1)).as("g"), sum(col("__n")).as("rows"),
+      max(col("__n")).as("mx"), min(col("__n")).as("mn")).collect()(0)
+    val (bigGroups, bigRows, maxGroup, minGroup) =
+      (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1),
+       if (st.isNullAt(2)) 0L else st.getLong(2),
+       if (st.isNullAt(3)) 0L else st.getLong(3))
+    if (bigGroups == 0L) return sparsePlan() // every group sparse: the r2 join shape
+    val coldEmpty = bigRows == banded.count() // cached count: no recompute
+    val anyHot = maxGroup > hotBucketThreshold
+    val anyWarm = minGroup <= hotBucketThreshold
     val marked = banded.join(sizes, Seq("band", "bucket"), "left")
-    val cold = marked.filter(col("__n").isNull).select("id", "band", "bucket")
-    val coldPairs = cold.toDF("id_a", "band", "bucket")
-      .join(cold.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val coldVerified = coldPairs
-      .join(v.toDF("id_a", "v_a"), Seq("id_a"))
-      .join(v.toDF("id_b", "v_b"), Seq("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    val coldVerified = if (coldEmpty) None else Some {
+      val cold = marked.filter(col("__n").isNull).select("id", "band", "bucket")
+      val coldPairs = cold.toDF("id_a", "band", "bucket")
+        .join(cold.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      coldPairs
+        .join(v.toDF("id_a", "v_a"), Seq("id_a"))
+        .join(v.toDF("id_b", "v_b"), Seq("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
     val refineSeed = seed ^ 0x6A09E667F3BCC909L
     val warmRows = marked.filter(col("__n").isNotNull && col("__n") <= hotBucketThreshold)
       .select("id", "band", "bucket")
       .join(v, Seq("id"))
       .select(col("id"), col("v"), col("band"), col("bucket"), lit(0L).as("refine"))
-    val hotRows = marked.filter(col("__n") > hotBucketThreshold)
-      .select("id", "band", "bucket")
-      .join(v, Seq("id"))
-      .withColumn("refine",
-        Similarity.hyperplaneSignature(col("v"), refinePlanes, dim, refineSeed))
-      .select("id", "v", "band", "bucket", "refine")
-    val localVerified = groupLocalVerify(warmRows.unionByName(hotRows), threshold)
-    coldVerified.unionByName(localVerified).distinct()
+    val hotRows = if (!anyHot) None else Some(
+      marked.filter(col("__n") > hotBucketThreshold)
+        .select("id", "band", "bucket")
+        .join(v, Seq("id"))
+        .withColumn("refine",
+          Similarity.hyperplaneSignature(col("v"), refinePlanes, dim, refineSeed))
+        .select("id", "v", "band", "bucket", "refine"))
+    val warmHot = (anyWarm, anyHot) match {
+      case (true, false) => warmRows
+      case (false, true) => hotRows.get
+      case _             => warmRows.unionByName(hotRows.get)
+    }
+    val localVerified = groupLocalVerify(warmHot, threshold)
+    coldVerified.map(_.unionByName(localVerified)).getOrElse(localVerified).distinct()
   }
 
   /** SQL-`<`-compatible ordering for id values (long/int/string cover the
@@ -480,10 +535,16 @@ object Dedup {
     val outSchema = StructType(Seq(
       StructField("id_a", idType), StructField("id_b", idType),
       StructField("cosine", DoubleType)))
-    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+    // group key as a primitive tuple, not a concatenated string: the key
+    // is built once per banded row, so the string alloc+hash showed up at
+    // the natural-fire bench scale
+    implicit val keyEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
     implicit val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
     val (iId, iV, iB, iK, iR) = (0, 1, 2, 3, 4)
-    rows.groupByKey(r => r.get(iB) + "|" + r.get(iK) + "|" + r.get(iR))
+    rows.groupByKey(r => (r.getInt(iB), r.getLong(iK), r.getLong(iR)))
       .flatMapGroups { (_, it) =>
         val grp = it.toArray
         val ids = new Array[Any](grp.length)

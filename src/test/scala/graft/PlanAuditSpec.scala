@@ -98,9 +98,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a __hot join; the proven-cold plan must be the bare banded self-join
     assert(!cold.contains("HashAggregate"), s"cold path grew an aggregate:\n${cold.take(600)}")
     assert(!cold.contains("__hot"), "cold path must not join against hot keys")
-    val guarded = graft.pipeline.Dedup
+    // r6: the guarded path probes the (persisted) histogram on the driver
+    // and drops the hot machinery when NO bucket is hot — this corpus has
+    // none, so its plan must equal the bare self-join shape too
+    val guardedCold = graft.pipeline.Dedup
       .simhashCandidatePairs(sigs, maxHamming = 3, hotBucketThreshold = 1 << 20)
       .queryExecution.executedPlan.toString
-    assert(guarded.contains("__hot"), "guarded path lost its hot-key machinery")
+    assert(!guardedCold.contains("__hot"),
+      "guarded path must prune the hot machinery when the histogram proves no bucket hot")
+    // ... and keep it when a bucket IS hot (64 identical signatures over
+    // threshold 16 make every band bucket hot)
+    val hotSigs = (1 to 64).map(i => (i.toLong, 0x1234L)).toDF("id", "sig")
+    val guardedHot = graft.pipeline.Dedup
+      .simhashCandidatePairs(hotSigs, maxHamming = 3, hotBucketThreshold = 16)
+      .queryExecution.executedPlan.toString
+    assert(guardedHot.contains("__hot"), "guarded path lost its hot-key machinery")
   }
 }

@@ -13,10 +13,21 @@ Atomic-unit model (matches these codecs' no-lookahead structure):
   - otherwise it is a lead iff some 2-byte sequence starting with it
     decodes — those pairs are the 2-byte units;
   - euc-jp additionally has 0x8F-led 3-byte units.
-The ENCODE map records CPython's canonical bytes for every unit value.
+The ENCODE map is enumerated over the FULL codepoint range (not just
+decode-reachable unit values): CPython carries encode-only fallbacks the
+decode tables never produce ('¥'.encode('shift_jis') == b'\x5c',
+'‾' -> b'~', and 8,822 euc-kr hangul syllables that ENCODE as 8-byte
+jamo compositions) — r5's decode-reachable enumeration regressed exactly
+those (r5 ADVICE, high).
+
+euc-kr additionally DECODES 8-byte composition units
+(a4d4 <L-jamo> <V-jamo> <T-jamo|a4d4> -> one composed syllable/jamo,
+r5 ADVICE medium); those are enumerated exhaustively over the 94^3
+trailing-pair space and emitted as C rows.
 
 Output: src/main/resources/charsets/<enc>.tsv.gz with lines:
   D <seqhex> <utf8hex>   (decode unit: byte sequence -> text)
+  C <seqhex> <utf8hex>   (euc-kr composition: 6 bytes AFTER the a4d4 lead)
   E <utf8hex> <seqhex>   (encode: text -> byte sequence)
 """
 import gzip, os
@@ -58,12 +69,34 @@ def main():
                         values.add(v)
         multi = [v for v in values if len(v) != 1]
         assert not multi, f"{enc}: non-single-char unit values {multi[:5]}"
-        for v in sorted(values):
+        if enc == "euc-kr":
+            # 8-byte composition units: a4d4 + three more a4-led pairs
+            # (L jamo, V jamo, T jamo or a4d4 filler). Enumerate the full
+            # 94^3 trailing-pair space through CPython; whatever decodes
+            # is a composition unit, the rest stays a strict error.
+            ncomp = 0
+            for l in range(0xA1, 0xFF):
+                for vv in range(0xA1, 0xFF):
+                    for t in range(0xA1, 0xFF):  # 0xD4 (filler) is in range
+                        seq = bytes([0xA4, 0xD4, 0xA4, l, 0xA4, vv, 0xA4, t])
+                        s = dec(seq)
+                        if s is not None and len(s) == 1:
+                            rows.append(f"C {seq[2:].hex()} {s.encode('utf-8').hex()}")
+                            ncomp += 1
+            print(f"euc-kr composition units: {ncomp}")
+        # encode side: full-codepoint scan (encode-only fallbacks included)
+        nenc = 0
+        for cp in range(0x110000):
+            if 0xD800 <= cp < 0xE000:
+                continue
+            v = chr(cp)
             try:
                 eb = v.encode(enc)
             except Exception:
                 continue
             rows.append(f"E {v.encode('utf-8').hex()} {eb.hex()}")
+            nenc += 1
+        print(f"{enc}: {nenc} encodable codepoints")
         p = os.path.join(OUT, enc + ".tsv.gz")
         with gzip.open(p, "wt") as f:
             f.write("\n".join(rows) + "\n")
@@ -145,8 +178,19 @@ def gen_cases():
         dec_case(enc, b"\x00\x00\xfe\xff" + "ab".encode("utf-32-be"))
         dec_case(enc, b"\xff\xfe\x00\x00" + "ab".encode("utf-32-le"))
         dec_case(enc, b"\x00\xd8a\x00")      # lone-surrogate-ish bytes
-    # encode side
-    enc_texts = ["abc", "—", "―", "⊕", "♁", "＼", "╴",
+    # euc-kr composition units (r5 ADVICE medium): valid compositions,
+    # LV+filler, truncations, wrong-class jamo, embedded in context
+    for h in ["a4d4a4a1a4bfa4a2", "a4d4a4a1a4bfa4d4", "a4d4a4a1a4bfa4a2a4a1",
+              "a4d4", "a4d4a4a1", "a4d4a4a1a4bf", "a4d441", "a4d4a4d4a4a1a4bf",
+              "a4d4a4bfa4a1a4a2", "a4d4a4a1a4bfb0a1"]:
+        raw = bytes.fromhex(h)
+        dec_case("euc-kr", raw)
+        dec_case("euc-kr", b"x" + raw + b"y")
+    # encode side — incl. the encode-only fallbacks ('¥'/'‾' -> 0x5c/0x7e
+    # in shift_jis & euc-jp, r5 ADVICE high) and composed euc-kr syllables
+    # outside the 2-byte table ('갂' -> 8-byte jamo composition)
+    enc_texts = ["abc", "—", "―", "⊕", "♁", "＼", "╴", "¥", "‾", "¥1 and ‾x",
+                 "갂", "가힣 갂뷁", "ㄱㅏ",
                  "日本語テキスト", "한국어", "中文简体", "繁體字", "ｱｲｳｴｵ",
                  "mixed 日本 text", "\U0001F600", "caf\xe9", text]
     for enc in cjk + ["utf-16", "utf-32", "utf-16-le", "utf-32-be", "windows-1252",

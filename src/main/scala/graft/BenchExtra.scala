@@ -89,6 +89,74 @@ object BenchExtra {
           .mkString("{", ",", "}")
         println(s"""{"metric":"noop","queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
 
+      case "crawlplans" =>
+        // dump the crawl epoch's two restructured subplans (seen-filter
+        // output, politeness dequeue) for the plans/r06 before/after
+        // evidence — uses only APIs stable across the r5/r6 boundary
+        val outDir = args(1)
+        val suffix = if (args.length > 2) args(2) else "before"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        import graft.jobs.CrawlJob
+        import graft.frontier.{SeenSet, Scheduler}
+        import graft.model.Candidate
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{broadcast, coalesce, array, struct, udf}
+        val cfg = CrawlJob.Config(
+          seen = SeenSet.Config(numBuckets = 32, expectedPerBucket = 1 << 18),
+          sched = Scheduler.Config(perHostBudget = 256, saltFactor = 8),
+          shufflePartitions = cpus)
+        val pages = CrawlJob.preparePages(
+          graft.data.SyntheticCorpus.pages(spark, 42L, 20000L, cpus, 300).toDF())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pages.count()
+        val robots = graft.data.SyntheticCorpus.robots(spark, 42L, 300).toDF()
+        val root = java.nio.file.Files.createTempDirectory("planx-crawl").toString
+        val store = new graft.store.ParquetSnapshotStore(root)
+        CrawlJob.init(spark, store,
+          graft.data.SyntheticCorpus.seeds(spark, 42L, 20000L, 1000, 300), cfg)
+        CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+        CrawlJob.runEpoch(spark, store, pages, robots, cfg)
+        val snap = store.latest().get
+        val frontier = store.readTable(spark, snap, "frontier").as[Candidate]
+        val seen = store.readTable(spark, snap, "seen")
+        val blooms = store.readTable(spark, snap, "blooms").as[SeenSet.BucketBloom]
+        val (kept, _, _) = SeenSet.dedupAndFilterNew(spark, frontier, seen, blooms, cfg.seen)
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+        dump("crawl_epoch_seenfilter", kept.toDF())
+        val budgeted = kept.toDF()
+          .select(struct($"url", $"host", $"priority", $"discoveredEpoch",
+                         $"retries").as("_1"),
+                  org.apache.spark.sql.functions.lit(cfg.sched.perHostBudget).as("_2"))
+          .as[(Candidate, Int)]
+        dump("crawl_epoch_dequeue", Scheduler.dequeueRanked(spark, budgeted, cfg.sched).toDF())
+        System.err.println(s"[crawlplans] wrote $suffix")
+
+      case "hotplans" =>
+        // bench-shaped natural-fire hot dedup corpora (smaller n, same
+        // branch selection) — plan evidence for the r6 tier branching
+        val outDir = args(1)
+        val suffix = if (args.length > 2) args(2) else "before"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+        val docs = graft.data.SyntheticCorpus.hotDocs(spark, 42L, 20000L, 6000L, cpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        dump("dedup_hot_simhash", graft.pipeline.Dedup.simhashNearDups(docs, "doc_id", "text"))
+        val emb = graft.data.SyntheticCorpus.hotEmbeddings(spark, 42L, 30000L, 64, 50, cpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        dump("dedup_hot_embedding",
+          graft.pipeline.Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.99))
+        System.err.println(s"[hotplans] wrote $suffix")
+
       case "crawl" =>
         import graft.jobs.CrawlJob
         import graft.frontier.{SeenSet, Scheduler}

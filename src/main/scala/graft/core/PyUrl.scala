@@ -206,9 +206,54 @@ object PyUrl {
     "/" + out.mkString("/") + (if (trailingSlash && out.nonEmpty) "/" else if (out.isEmpty) "" else "")
   }
 
+  /** One-pass check that `url` is ALREADY in canonical form, i.e. the
+    * full [[canonicalize]] machinery would return it unchanged: lowercase
+    * http/https scheme, lowercase host with no userinfo/port/escapes, a
+    * non-empty path with no dot or empty segments, no query/fragment, all
+    * printable ASCII. Most discovered outlinks on a real crawl are
+    * already canonical, and the full path (urlsplit + percent
+    * normalization + dot-segment removal, several allocations) showed up
+    * as ~10 core-s per 1.6M-link epoch in the r6 profile. Conservative:
+    * any character or shape this scan is unsure about falls through to
+    * the full path, so the result is identical by construction (pinned by
+    * a 200k-case differential in PyUrlSpec). */
+  private[core] def isCanonicalFast(u: String): Boolean = {
+    val n = u.length
+    var i =
+      if (u.startsWith("https://")) 8
+      else if (u.startsWith("http://")) 7
+      else return false
+    if (i >= n) return false
+    // host: [a-z0-9.-]+ only (rejects userinfo, ports, uppercase, IPv6)
+    val hostStart = i
+    var c = ' '
+    while (i < n && { c = u.charAt(i)
+                      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+                      c == '.' || c == '-' }) i += 1
+    if (i == hostStart) return false
+    if (i >= n || u.charAt(i) != '/') return false // needs an explicit path
+    // path: printable ASCII below DEL, no %?#\ or ws; no "//" or "/." segments
+    // (a trailing "/" is canonical-preserved by removeDotSegments)
+    var prev = ' '
+    while (i < n) {
+      c = u.charAt(i)
+      if (c <= ' ' || c >= 127 || c == '%' || c == '?' || c == '#' || c == '\\')
+        return false
+      if (prev == '/' && (c == '/' || c == '.')) return false
+      prev = c
+      i += 1
+    }
+    true
+  }
+
   /** Canonical form for frontier dedup/scheduling. Returns None for URLs
     * that can't be crawled (no http/https scheme or no host). */
-  def canonicalize(url: String): Option[String] = {
+  def canonicalize(url: String): Option[String] =
+    if (isCanonicalFast(url)) Some(url) else canonicalizeSlow(url)
+
+  /** The full normalization path (differential reference for the fast
+    * path — PropertySpec pins fast-accepted == slow-unchanged). */
+  private[core] def canonicalizeSlow(url: String): Option[String] = {
     val s = urlsplit(url.trim)
     val scheme = s.scheme
     if (scheme != "http" && scheme != "https") return None

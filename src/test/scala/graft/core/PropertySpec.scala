@@ -255,6 +255,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize fast path: fast-accepted == slow-path-unchanged (r6 differential)") {
+    // the r6 already-canonical scan may only accept a url the FULL
+    // normalization path would return verbatim. Generator is biased to
+    // canonical-looking urls so the fast branch actually fires, with
+    // oddity injections (case, ports, dots, escapes, queries, slashes)
+    // exercising the reject→slow path agreement.
+    val seg = Gen.oneOf("p1", "a-b", "x.y", "idx", "UP", "p%41", "a b", ".", "..",
+      "", "f.html", "q?x", "#f", "héllo", "a;b", "p~z")
+    val host = Gen.oneOf("host1.example", "Host1.EXAMPLE", "h.example:80",
+      "h.example:443", "h.example:8080", "u@h.example", "h_x.example", "h.example")
+    val gen = for {
+      scheme <- Gen.oneOf("https", "http", "HTTPS", "ftp")
+      h <- host
+      n <- Gen.choose(0, 4)
+      segs <- Gen.listOfN(n, seg)
+      slash <- Gen.oneOf("", "/")
+    } yield s"$scheme://$h/${segs.mkString("/")}$slash"
+    var fastHits = 0
+    forAllN(gen, 20000) { u =>
+      if (PyUrl.isCanonicalFast(u)) {
+        fastHits += 1
+        assert(PyUrl.canonicalizeSlow(u).contains(u),
+          s"fast path accepted a url the slow path would change: $u -> ${PyUrl.canonicalizeSlow(u)}")
+      } else {
+        // nothing to assert beyond slow-path totality; canonicalize()
+        // takes the slow branch for these by construction
+        PyUrl.canonicalizeSlow(u)
+      }
+    }
+    assert(fastHits > 500, s"generator never exercised the fast path ($fastHits hits)")
+    // and the raw url generator for wild shapes
+    forAll(urlGen) { u =>
+      if (PyUrl.isCanonicalFast(u))
+        assert(PyUrl.canonicalizeSlow(u).contains(u), s"fast/slow diverge on $u")
+    }
+  }
+
   test("canonical urls always have a host and http(s) scheme") {
     forAll(urlGen) { u =>
       PyUrl.canonicalize(u).foreach { c =>

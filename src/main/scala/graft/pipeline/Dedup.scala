@@ -450,21 +450,41 @@ object Dedup {
         .select("id_a", "id_b", "cosine")
     }
     val refineSeed = seed ^ 0x6A09E667F3BCC909L
-    val warmRows = marked.filter(col("__n").isNotNull && col("__n") <= hotBucketThreshold)
-      .select("id", "band", "bucket")
-      .join(v, Seq("id"))
-      .select(col("id"), col("v"), col("band"), col("bucket"), lit(0L).as("refine"))
-    val hotRows = if (!anyHot) None else Some(
-      marked.filter(col("__n") > hotBucketThreshold)
+    val warmHot = if (coldEmpty) {
+      // EVERY banded row lands in a group-local tier, so the vectors can
+      // ride the banding explode directly (one corpus pass) instead of
+      // re-attaching by an id join against the banded cache — guide §8:
+      // move the heavy bytes once, decide with the (tiny, persisted)
+      // histogram. Same rows: band signatures and the refine signature
+      // are pure expressions of the vector.
+      val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          posexplode(array(bandCols: _*)))
+        .toDF("id", "v", "band", "bucket")
+        .join(sizes, Seq("band", "bucket"))
+      val refineCol =
+        if (!anyHot) lit(0L)
+        else when(col("__n") > hotBucketThreshold,
+          Similarity.hyperplaneSignature(col("v"), refinePlanes, dim, refineSeed))
+          .otherwise(lit(0L))
+      rows.select(col("id"), col("v"), col("band"), col("bucket"),
+        refineCol.as("refine"))
+    } else {
+      val warmRows = marked.filter(col("__n").isNotNull && col("__n") <= hotBucketThreshold)
         .select("id", "band", "bucket")
         .join(v, Seq("id"))
-        .withColumn("refine",
-          Similarity.hyperplaneSignature(col("v"), refinePlanes, dim, refineSeed))
-        .select("id", "v", "band", "bucket", "refine"))
-    val warmHot = (anyWarm, anyHot) match {
-      case (true, false) => warmRows
-      case (false, true) => hotRows.get
-      case _             => warmRows.unionByName(hotRows.get)
+        .select(col("id"), col("v"), col("band"), col("bucket"), lit(0L).as("refine"))
+      val hotRows = if (!anyHot) None else Some(
+        marked.filter(col("__n") > hotBucketThreshold)
+          .select("id", "band", "bucket")
+          .join(v, Seq("id"))
+          .withColumn("refine",
+            Similarity.hyperplaneSignature(col("v"), refinePlanes, dim, refineSeed))
+          .select("id", "v", "band", "bucket", "refine"))
+      (anyWarm, anyHot) match {
+        case (true, false) => warmRows
+        case (false, true) => hotRows.get
+        case _             => warmRows.unionByName(hotRows.get)
+      }
     }
     val localVerified = groupLocalVerify(warmHot, threshold)
     coldVerified.map(_.unionByName(localVerified)).getOrElse(localVerified).distinct()

@@ -410,7 +410,7 @@ object CrawlJob {
     }
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val tables = try {
@@ -440,9 +440,10 @@ object CrawlJob {
       // inter-compaction deltas stay unpartitioned (LSM memtable shape) and
       // are merely row-filtered. expire() reclaims the superseded delta
       // dirs once the manifests referencing them age out.
-      val fSeenBlooms = Future {
-        val oldSegs = snap.tables("blooms")
-        if (oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments) {
+      val oldSegs = snap.tables("blooms")
+      val compacting = oldSegs.split(";").length + 1 > cfg.seen.maxBloomSegments
+      val fSeenBlooms: Seq[Future[Seq[(String, String)]]] =
+        if (compacting) Seq(Future {
           val allSeen = store.readTable(spark, snap, "seen").unionByName(seenDelta)
           // repartition by bucket: ~one file per bucket dir, not one per
           // shuffle task per dir
@@ -454,16 +455,21 @@ object CrawlJob {
             spark.read.parquet(compacted).select("url").as[String], cfg.seen)
           Seq("seen" -> compacted,
               "blooms" -> store.writeTable("blooms", epoch, full.toDF()))
-        } else {
-          val deltaPath = store.writeTable("seen", epoch, seenDelta)
-          val delta = SeenSet.buildDeltaBlooms(spark, newlySeen, cfg.seen)
-          Seq("seen" -> (snap.tables("seen") + ";" + deltaPath),
-              "blooms" -> (oldSegs + ";" + store.writeTable("blooms", epoch, delta.toDF())))
-        }
-      }
+        })
+        else Seq(
+          // the delta branch's two writes are independent (both read the
+          // persisted scheduledSeq projection) — run them concurrently
+          // like the other state writes
+          Future {
+            Seq("seen" -> (snap.tables("seen") + ";" + store.writeTable("seen", epoch, seenDelta)))
+          },
+          Future {
+            val delta = SeenSet.buildDeltaBlooms(spark, newlySeen, cfg.seen)
+            Seq("blooms" -> (oldSegs + ";" + store.writeTable("blooms", epoch, delta.toDF())))
+          })
       val entries = Seq(extractedEntry, Await.result(fFrontier, Duration.Inf),
         Await.result(fScheduled, Duration.Inf), Await.result(fLineage, Duration.Inf)) ++
-        Await.result(fSeenBlooms, Duration.Inf)
+        fSeenBlooms.flatMap(Await.result(_, Duration.Inf))
       phase("write-rest-parallel")
       entries.toMap
     } finally pool.shutdown()

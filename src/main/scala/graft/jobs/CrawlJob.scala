@@ -243,9 +243,14 @@ object CrawlJob {
           if (alw == null) Nil else alw, path)
       }
     }
+    // project the broadcast rule arrays away BEFORE the persist: they are
+    // consumed by the gate expressions on this line and every cached row
+    // would otherwise carry its host's disallow/allow path lists through
+    // the epoch (tens of MB of dead cache weight per 10^6-candidate epoch)
     val gated = joined.withColumn("__allowed", allowedCol(col("url"), col("disallow"), col("allow")))
       .withColumn("__budget",
         crawlDelayBudget(col("crawl_delay"), cfg.sched.perHostBudget, cfg.epochWindowSec))
+      .select("url", "host", "priority", "discoveredEpoch", "retries", "__allowed", "__budget")
       .observe(obsGate, sum(when(col("__allowed"), 0L).otherwise(1L)).as("blocked"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // `allowed` is a plain filter+project over the persisted `gated`
